@@ -1,0 +1,87 @@
+"""ivclab_tpu — a TPU-native hybrid image/video codec framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the TUM
+Image & Video Compression Lab reference (`ivclab`): JPEG-style still-image
+coding (8x8 DCT + quantization + zig-zag + zero-run + Huffman), predictive
+(DPCM) coding, YUV 4:2:0 chroma subsampling, and block motion-compensated
+hybrid video coding — all restructured for TPU hardware:
+
+- Transforms run as fused MXU matmuls over ``[num_blocks, 64]`` tensors
+  (DCT expressed in Kronecker form with zig-zag + quantization folded in).
+- Entropy coding is re-architected from a sequential symbol queue to
+  parallel symbol emission + prefix-sum bitstream packing on device, with
+  a C++ serial engine as host fallback and correctness oracle.
+- Images shard by tile and video GOPs by frame group over a
+  ``jax.sharding.Mesh``; halos for motion search travel via collectives.
+
+Public API mirrors the reference layer map (SURVEY.md §1) so users of the
+reference find every component under the same names.
+"""
+
+from ivclab_tpu.version import __version__
+
+# L0 utilities (reference: ivclab/utils)
+from ivclab_tpu.utils import (
+    imread,
+    imwrite,
+    imshow,
+    calc_mse,
+    calc_psnr,
+    ZigZag,
+    Patcher,
+)
+
+# L1 signal processing (reference: ivclab/signal)
+from ivclab_tpu.ops import (
+    rgb2gray,
+    rgb2ycbcr,
+    ycbcr2rgb,
+    DiscreteCosineTransform,
+    zigzag_scan,
+    downsample,
+    upsample,
+    interpolation_upsample,
+    lowpass_filter,
+    FilterPipeline,
+)
+
+# L2 entropy / statistics (reference: ivclab/entropy)
+from ivclab_tpu.entropy import (
+    stats_marg,
+    smooth_pmf,
+    calc_entropy,
+    min_code_length,
+    stats_joint,
+    stats_cond,
+    HuffmanCoder,
+    ZeroRunCoder,
+)
+
+# L2b quantization (reference: ivclab/quantization)
+from ivclab_tpu.ops.quant import PatchQuant
+
+# L3 image codecs (reference: ivclab/image)
+from ivclab_tpu.models import (
+    IntraCodec,
+    IntraCodecAdaptive,
+    single_pixel_predictor,
+    three_pixels_predictor,
+    yuv420compression,
+)
+
+# L4 video codec (reference: ivclab/video)
+from ivclab_tpu.models import MotionCompensator, VideoCodec
+
+__all__ = [
+    "__version__",
+    "imread", "imwrite", "imshow", "calc_mse", "calc_psnr", "ZigZag", "Patcher",
+    "rgb2gray", "rgb2ycbcr", "ycbcr2rgb", "DiscreteCosineTransform",
+    "zigzag_scan", "downsample", "upsample", "interpolation_upsample",
+    "lowpass_filter", "FilterPipeline",
+    "stats_marg", "smooth_pmf", "calc_entropy", "min_code_length",
+    "stats_joint", "stats_cond", "HuffmanCoder", "ZeroRunCoder",
+    "PatchQuant",
+    "IntraCodec", "IntraCodecAdaptive", "single_pixel_predictor",
+    "three_pixels_predictor", "yuv420compression",
+    "MotionCompensator", "VideoCodec",
+]

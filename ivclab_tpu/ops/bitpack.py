@@ -1,0 +1,155 @@
+"""Parallel variable-length bitstream packing/unpacking on device.
+
+This replaces the reference's inherently serial per-symbol queue encode
+(``ivclab/entropy/huffman.py:28-33``, Python -> Rust per symbol) with the
+TPU-native restructuring from SURVEY.md §7:
+
+encode:  gather (codeword, length) per symbol -> exclusive prefix sum of
+         lengths -> every symbol knows its bit offset -> each left-justified
+         codeword splits into at most two u32 words -> one scatter-add
+         materializes the stream (disjoint bit ranges make add == or).
+
+decode:  the per-block EOB framing keeps blocks independently decodable;
+         given per-block bit offsets (carried by the container, or the
+         implicit offsets of fixed-rate streams) all blocks decode in
+         parallel, each walking its own bits with the canonical 32-boundary
+         comparison decode.
+
+Bitstream format: MSB-first within big-endian u32 words — bit ``k`` of the
+stream is bit ``31 - (k mod 32)`` of word ``k // 32``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ivclab_tpu.entropy.codebook import MAX_CODE_LEN, CanonicalCode
+
+U32 = jnp.uint32
+
+
+def _u32(x):
+    return jnp.asarray(x).astype(U32)
+
+
+@jax.jit
+def symbol_bit_layout(lens):
+    """Exclusive prefix-sum of code lengths -> (bit_offsets, total_bits)."""
+    lens = jnp.asarray(lens, dtype=jnp.int32).reshape(-1)
+    csum = jnp.cumsum(lens)
+    return csum - lens, (csum[-1] if lens.size else jnp.int32(0))
+
+
+@partial(jax.jit, static_argnames=("num_words",))
+def pack_codes(codes, lens, bit_offsets, num_words: int):
+    """Scatter left-justified codewords into a ``[num_words]`` u32 stream.
+
+    ``codes``: right-aligned uint32; ``lens``: int32 in [0, 32] (0 = skip,
+    used for padded/invalid symbol slots); ``bit_offsets``: int32.
+    """
+    codes = _u32(codes).reshape(-1)
+    lens = jnp.asarray(lens, dtype=jnp.int32).reshape(-1)
+    off = jnp.asarray(bit_offsets, dtype=jnp.int32).reshape(-1)
+
+    shift_lj = _u32((32 - lens) & 31)
+    lj = jnp.where(lens > 0, codes << shift_lj, _u32(0))
+
+    word = off >> 5
+    shift = _u32(off & 31)
+    part1 = lj >> shift
+    part2 = jnp.where(shift == 0, _u32(0), lj << (_u32(32) - shift))
+    # invalid symbols (len 0) must not write anywhere
+    word = jnp.where(lens > 0, word, num_words + 1)
+
+    words = jnp.zeros((num_words,), dtype=U32)
+    words = words.at[word].add(part1, mode="drop")
+    words = words.at[word + 1].add(part2, mode="drop")
+    return words
+
+
+def encode_symbols_device(sym_idx, valid, code: CanonicalCode, num_words: int):
+    """Full device encode: symbol indices (+validity mask) -> u32 stream.
+
+    Returns ``(words, bit_offsets, total_bits)``. ``sym_idx`` are
+    0-based alphabet indices (symbol - lower_bound).
+    """
+    enc_codes = jnp.asarray(code.codes)
+    enc_lens = jnp.asarray(code.lengths)
+    idx = jnp.clip(jnp.asarray(sym_idx, dtype=jnp.int32).reshape(-1), 0, code.n - 1)
+    v = jnp.asarray(valid, dtype=bool).reshape(-1)
+    lens = jnp.where(v, enc_lens[idx], 0)
+    codes = jnp.where(v, enc_codes[idx], 0)
+    off, total = symbol_bit_layout(lens)
+    words = pack_codes(codes, lens, off, num_words)
+    return words, off, total
+
+
+@jax.jit
+def bit_window32(words, bitpos):
+    """Load the 32-bit window starting at ``bitpos`` (MSB-first stream)."""
+    words = _u32(words)
+    w = bitpos >> 5
+    sh = _u32(bitpos & 31)
+    w1 = words[w]
+    w2 = words[jnp.minimum(w + 1, words.shape[0] - 1)]
+    lo = jnp.where(sh == 0, _u32(0), w2 >> (_u32(32) - sh))
+    return jnp.where(sh == 0, w1, (w1 << sh) | lo)
+
+
+@partial(jax.jit, static_argnames=("max_syms",))
+def decode_blocks_device(words, block_bit_offsets, block_sym_counts, tables, max_syms: int):
+    """Decode all blocks in parallel from one packed stream.
+
+    ``block_bit_offsets[b]``: starting bit of block b;
+    ``block_sym_counts[b]``: symbols to decode for block b (<= max_syms).
+    ``tables``: tuple of device arrays + scalar
+        (lj_next_minus1[32] u32, first_code[33] u32,
+         group_offset[33] i32, sorted_syms[n] i32, min_len i32).
+    Returns ``out [B, max_syms] int32`` of 0-based symbol indices (padded
+    slots are 0).
+
+    Each block walks its own bits with a ``fori_loop``; all blocks advance
+    in lockstep on the VPU — the sequential depth is max_syms, not
+    num_blocks * max_syms as in the reference's Python loop.
+    """
+    lj, fc, go, ss, min_len = (jnp.asarray(t) for t in tables)
+    offs = jnp.asarray(block_bit_offsets, dtype=jnp.int32)
+    counts = jnp.asarray(block_sym_counts, dtype=jnp.int32)
+    B = offs.shape[0]
+
+    def body(i, carry):
+        bitpos, out = carry
+        window = jax.vmap(lambda p: bit_window32(words, p))(bitpos)
+        past = (window[:, None] > lj[None, : MAX_CODE_LEN - 1]).astype(jnp.int32)
+        length = min_len + jnp.sum(past, axis=1)
+        code_val = window >> _u32(32 - length)
+        rank = (code_val - fc[length]).astype(jnp.int32)
+        sym = ss[jnp.clip(go[length] + rank, 0, ss.shape[0] - 1)]
+        active = i < counts
+        out = out.at[:, i].set(jnp.where(active, sym, 0))
+        bitpos = jnp.where(active, bitpos + length, bitpos)
+        return bitpos, out
+
+    out0 = jnp.zeros((B, max_syms), dtype=jnp.int32)
+    _, out = jax.lax.fori_loop(0, max_syms, body, (offs, out0))
+    return out
+
+
+def decode_tables(code: CanonicalCode):
+    """Device-ready decoder table tuple for ``decode_blocks_device``."""
+    return (
+        jnp.asarray(code.lj_next_minus1),
+        jnp.asarray(np.asarray(code.first_code, dtype=np.uint32)),
+        jnp.asarray(code.group_offset.astype(np.int32)),
+        jnp.asarray(code.sorted_syms),
+        jnp.int32(code.min_len),
+    )
+
+
+def words_capacity(num_symbols: int, max_len: int = MAX_CODE_LEN) -> int:
+    """Static u32 word capacity for a worst-case stream."""
+    return (num_symbols * max_len + 31) // 32 + 1

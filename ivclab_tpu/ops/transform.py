@@ -1,0 +1,109 @@
+"""The fused intra transform pipeline: image plane(s) <-> coded symbols.
+
+This is the TPU-native reshape of the reference's 5-stage object pipeline
+(``ivclab/image/intracodec.py:66-78``: patch -> DCT -> quantize -> zigzag ->
+zero-run). Here the whole front-end is one jitted program over
+``[num_blocks, 64]`` tensors:
+
+  pixels --(one [N,64]x[64,64] MXU matmul: DCT with zig-zag folded into the
+  matrix rows)--> scan-ordered coefficients --(multiply by reciprocal
+  table + round, fused into the matmul epilogue by XLA)--> quantized
+  symbols --(vectorized zero-run scatter)--> per-block symbol buffers
+  --(code gather + prefix-sum bit layout + scatter-add pack)--> bitstream.
+
+The decode direction mirrors it, block-parallel end to end.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ivclab_tpu.ops.bitpack import pack_codes, symbol_bit_layout
+from ivclab_tpu.ops.dct import dct2_fused, idct2_fused
+from ivclab_tpu.ops.zerorun import BLOCK_CAP, zerorun_encode_blocks
+from ivclab_tpu.entropy.stats import histogram_int32
+
+
+def blocks_from_plane(img, block: int = 8):
+    """``[H, W, C]`` -> row-major flat blocks ``[hp*wp*C, block*block]``.
+
+    Block order is (h, w, c) to match the reference's symbol stream
+    ordering (``ivclab/entropy/zerorun.py:15`` rearrange 'h w c p').
+    """
+    H, W, C = img.shape
+    x = img.reshape(H // block, block, W // block, block, C)
+    x = x.transpose(0, 2, 4, 1, 3)
+    return x.reshape(-1, block * block)
+
+
+def plane_from_blocks(blocks, shape, block: int = 8):
+    """Inverse of :func:`blocks_from_plane`."""
+    H, W, C = shape
+    x = blocks.reshape(H // block, W // block, C, block, block)
+    x = x.transpose(0, 3, 1, 4, 2)
+    return x.reshape(H, W, C)
+
+
+@partial(jax.jit, static_argnames=("eob",))
+def forward_symbolize(img_ycbcr, inv_qtable_zz, eob: int = 4000):
+    """YCbCr plane(s) -> zero-run symbol buffers.
+
+    img_ycbcr: ``[H, W, C]`` float32 (H, W multiples of 8)
+    inv_qtable_zz: ``[C, 64]`` reciprocal quantization table, scan order
+    returns: (buf ``[N, BLOCK_CAP]`` int32, valid_len ``[N]`` int32,
+              qsym ``[N, 64]`` int32 scan-ordered quantized coefficients)
+    """
+    H, W, C = img_ycbcr.shape
+    flat = blocks_from_plane(img_ycbcr.astype(jnp.float32))
+    coeffs = dct2_fused(flat)  # [N, 64], zig-zag order
+    inv = jnp.asarray(inv_qtable_zz, dtype=jnp.float32)
+    scaled = coeffs.reshape(H // 8, W // 8, C, 64) * inv[None, None]
+    qsym = jnp.round(scaled).astype(jnp.int32).reshape(-1, 64)
+    buf, valid_len = zerorun_encode_blocks(qsym, 64, eob)
+    return buf, valid_len, qsym
+
+
+@partial(jax.jit, static_argnames=("shape",))
+def inverse_reconstruct(qsym, qtable_zz, shape):
+    """Scan-ordered quantized coefficients -> YCbCr plane(s).
+
+    Dequantization truncates toward zero to int32 for parity with the
+    reference (``ivclab/quantization/patchquant.py:78`` astype(int32)).
+    """
+    H, W, C = shape
+    table = jnp.asarray(qtable_zz, dtype=jnp.float32)
+    deq = (qsym.reshape(H // 8, W // 8, C, 64).astype(jnp.float32) * table[None, None]).astype(jnp.int32)
+    pix = idct2_fused(deq.reshape(-1, 64).astype(jnp.float32))
+    return plane_from_blocks(pix, shape)
+
+
+@partial(jax.jit, static_argnames=("lo", "hi"))
+def symbol_histogram(buf, valid_len, lo: int, hi: int):
+    """Device histogram of the valid symbols (Huffman training input)."""
+    N, cap = buf.shape
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    mask = pos[None, :] < valid_len[:, None]
+    return histogram_int32(buf, lo, hi, mask=mask)
+
+
+@partial(jax.jit, static_argnames=("num_words", "lower_bound"))
+def pack_symbols(buf, valid_len, enc_codes, enc_lens, num_words: int, lower_bound: int):
+    """Huffman-pack per-block symbol buffers into one u32 stream.
+
+    Returns (words ``[num_words]`` u32, total_bits, block_bit_offsets ``[N]``).
+    Invalid (padded) slots encode zero bits, so the packed stream equals the
+    serial encoding of the compacted symbol sequence.
+    """
+    N, cap = buf.shape
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    mask = pos[None, :] < valid_len[:, None]
+    idx = jnp.clip(buf - lower_bound, 0, enc_lens.shape[0] - 1)
+    lens = jnp.where(mask, enc_lens[idx], 0).reshape(-1)
+    codes = jnp.where(mask, enc_codes[idx], 0).reshape(-1)
+    off, total = symbol_bit_layout(lens)
+    words = pack_codes(codes, lens, off, num_words)
+    block_offsets = off.reshape(N, cap)[:, 0]
+    return words, total, block_offsets

@@ -1,0 +1,97 @@
+"""Zero-run coder tests: vectorized vs C++ oracle, round trips, edge cases."""
+
+import numpy as np
+import pytest
+
+from ivclab_tpu.ops.zerorun import (
+    ZeroRunCoder,
+    compact_symbols,
+    zerorun_decode_stream,
+    zerorun_encode_blocks,
+)
+from ivclab_tpu.runtime import native
+
+EOB = 4000
+
+
+def random_blocks(rng, n, sparsity=0.8):
+    x = rng.integers(-300, 300, size=(n, 64)).astype(np.int32)
+    mask = rng.random((n, 64)) < sparsity
+    x[mask] = 0
+    x[x == EOB] = 0
+    return x
+
+
+def encode_compact(blocks):
+    import jax.numpy as jnp
+
+    buf, valid = zerorun_encode_blocks(jnp.asarray(blocks), 64, EOB)
+    stream, total = compact_symbols(buf, valid)
+    return np.asarray(stream)[: int(total)]
+
+
+@pytest.mark.parametrize("sparsity", [0.0, 0.5, 0.9, 1.0])
+def test_vectorized_matches_native_oracle(rng, sparsity):
+    blocks = random_blocks(rng, 37, sparsity)
+    ours = encode_compact(blocks)
+    oracle = native.zerorun_encode(blocks, EOB)
+    assert np.array_equal(ours, oracle)
+
+
+def test_decode_roundtrip(rng):
+    blocks = random_blocks(rng, 53, 0.85)
+    stream = encode_compact(blocks)
+    import jax.numpy as jnp
+
+    out, ok = zerorun_decode_stream(jnp.asarray(stream), stream.size, 53, 64, EOB)
+    assert bool(ok)
+    assert np.array_equal(np.asarray(out), blocks)
+
+
+def test_decode_matches_native(rng):
+    blocks = random_blocks(rng, 20, 0.7)
+    stream = encode_compact(blocks)
+    oracle = native.zerorun_decode(stream, 20, 64, EOB)
+    assert np.array_equal(oracle, blocks)
+
+
+def test_all_zero_block():
+    blocks = np.zeros((3, 64), np.int32)
+    stream = encode_compact(blocks)
+    assert np.array_equal(stream, [EOB, EOB, EOB])
+
+
+def test_dense_block():
+    blocks = np.arange(1, 65, dtype=np.int32).reshape(1, 64)
+    stream = encode_compact(blocks)
+    assert stream.size == 65
+    assert stream[-1] == EOB
+
+
+def test_trailing_zeros_dropped():
+    blocks = np.zeros((1, 64), np.int32)
+    blocks[0, 0] = 7
+    stream = encode_compact(blocks)
+    assert np.array_equal(stream, [7, EOB])
+
+
+def test_interior_run():
+    blocks = np.zeros((1, 64), np.int32)
+    blocks[0, 0] = 5
+    blocks[0, 10] = -3
+    stream = encode_compact(blocks)
+    assert np.array_equal(stream, [5, 0, 9, -3, EOB])
+
+
+def test_facade_roundtrip(rng):
+    coder = ZeroRunCoder()
+    x = random_blocks(rng, 4 * 5 * 3, 0.8).reshape(4, 5, 3, 64)
+    symbols = coder.encode(x)
+    back = coder.decode(symbols, (4, 5, 3))
+    assert np.array_equal(back, x)
+
+
+def test_corrupt_stream_detected():
+    coder = ZeroRunCoder()
+    with pytest.raises(ValueError):
+        coder.decode(np.array([1, 2, 3], dtype=np.int32), (2, 2, 1))

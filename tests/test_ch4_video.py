@@ -1,0 +1,118 @@
+"""Video codec tests: motion search oracle parity, hybrid coding round trips."""
+
+import numpy as np
+import pytest
+
+from ivclab_tpu.models import MotionCompensator, VideoCodec
+from ivclab_tpu.ops.color import rgb2ycbcr
+from ivclab_tpu.ops.motion import motion_compensate, motion_search
+from ivclab_tpu.utils import calc_psnr
+
+
+def _oracle_motion_search(ref, cur, sr=4, block=8):
+    """Spec oracle: exhaustive SSD, dy-then-dx scan order, strict improvement,
+    out-of-bounds candidates skipped (semantics of ivclab/video/motion.py:8-58)."""
+    H, W = ref.shape
+    out = np.zeros((H // block, W // block), dtype=np.int32)
+    for bi in range(H // block):
+        for bj in range(W // block):
+            i, j = bi * block, bj * block
+            cur_blk = cur[i : i + block, j : j + block]
+            best = (np.inf, 0, 0)
+            for dy in range(-sr, sr + 1):
+                for dx in range(-sr, sr + 1):
+                    ri, rj = i + dy, j + dx
+                    if ri < 0 or ri + block > H or rj < 0 or rj + block > W:
+                        continue
+                    d = cur_blk - ref[ri : ri + block, rj : rj + block]
+                    ssd = float(np.sum(d * d))
+                    if ssd < best[0]:
+                        best = (ssd, dy, dx)
+            out[bi, bj] = (best[1] + sr) * (2 * sr + 1) + (best[2] + sr)
+    return out
+
+
+def test_motion_search_matches_oracle(rng):
+    ref = (rng.random((32, 40)) * 255).astype(np.float32)
+    # build cur by shifting patches of ref + noise so there are real matches
+    cur = np.roll(ref, (2, -3), axis=(0, 1)) + rng.normal(0, 1, ref.shape).astype(np.float32)
+    ours = np.asarray(motion_search(ref, cur, 4))
+    oracle = _oracle_motion_search(ref, cur, 4)
+    assert np.array_equal(ours, oracle)
+
+
+def test_motion_search_static_scene(rng):
+    ref = (rng.random((24, 24)) * 255).astype(np.float32)
+    mv = np.asarray(motion_search(ref, ref, 4))
+    assert np.all(mv == 40)  # (0+4)*9 + (0+4): zero displacement
+
+
+def test_motion_compensate_inverts_global_shift(rng):
+    ref = (rng.random((40, 48)) * 255).astype(np.float32)
+    cur = np.roll(ref, (2, 3), axis=(0, 1))
+    mv = motion_search(ref, cur, 4)
+    pred = np.asarray(motion_compensate(ref, mv, 4))
+    # interior blocks should match exactly
+    assert np.abs(pred[8:-8, 8:-8] - cur[8:-8, 8:-8]).max() < 1e-4
+
+
+def test_compensator_facade(rng):
+    ref = (rng.random((32, 32)) * 255).astype(np.float32)
+    cur = np.roll(ref, (1, 1), axis=(0, 1))
+    mc = MotionCompensator(search_range=4)
+    mv = mc.compute_motion_vector(ref, cur)
+    assert mv.shape == (4, 4, 1)
+    rec = mc.reconstruct_with_motion_vector(ref[..., None], mv)
+    assert rec.shape == (32, 32, 1)
+
+
+@pytest.mark.parametrize("policy", ["per-frame", "first-p-frame", "adaptive"])
+def test_video_codec_policies(foreman, policy):
+    codec = VideoCodec(quantization_scale=1.0, codebook_policy=policy)
+    psnrs, bits = [], []
+    for t in range(3):
+        recon, _, bitsize = codec.encode_decode(foreman[t], frame_num=t)
+        assert recon.shape == foreman[t].shape and recon.dtype == np.uint8
+        psnrs.append(float(calc_psnr(foreman[t], recon)))
+        bits.append(bitsize)
+    assert min(psnrs) > 25.0
+    # P-frames must be cheaper than the I-frame on this motion-coherent clip
+    assert bits[1] < bits[0]
+    assert bits[2] < bits[0]
+
+
+def test_video_rd_monotonic(foreman):
+    means = []
+    for q in [3.0, 0.5]:
+        codec = VideoCodec(quantization_scale=q)
+        ps = []
+        for t in range(3):
+            recon, _, _ = codec.encode_decode(foreman[t], frame_num=t)
+            ps.append(float(calc_psnr(foreman[t], recon)))
+        means.append(np.mean(ps))
+    assert means[1] > means[0]
+
+
+def test_video_golden_point(foreman):
+    """Pinned mid-rate operating point on the synthetic foreman clip."""
+    codec = VideoCodec(quantization_scale=1.0)
+    psnrs, bits = [], []
+    for t in range(4):
+        recon, _, bitsize = codec.encode_decode(foreman[t], frame_num=t)
+        psnrs.append(float(calc_psnr(foreman[t], recon)))
+        bits.append(bitsize)
+    bpp = np.mean(bits) / (foreman[0].size / 3)
+    assert abs(float(np.mean(psnrs)) - GOLDEN_VIDEO_PSNR) < 0.5
+    assert abs(bpp - GOLDEN_VIDEO_BPP) < 0.25
+
+
+def test_gop_restart(foreman):
+    codec = VideoCodec(quantization_scale=1.0)
+    recons, bits = codec.encode_decode_sequence(foreman[:4], gop_size=2)
+    assert recons.shape == foreman[:4].shape
+    assert bits.shape == (4,)
+
+
+# Pinned from the deterministic synthetic fixtures.
+GOLDEN_VIDEO_PSNR = 30.22
+GOLDEN_VIDEO_BPP = 0.708
