@@ -1,0 +1,118 @@
+"""Benchmark: 1080p hybrid video encode+decode throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mpix/s", "vs_baseline": N}
+
+The workload is the BASELINE.md headline: full hybrid coding of a 1080p
+sequence — motion search, motion compensation, fused DCT+quant, zero-run,
+canonical Huffman pack, parallel entropy decode, inverse transform, MC
+reconstruction chain — through the fused device GOP pipeline
+(``ivclab_tpu.models.fastvideo``). The baseline is real-time 30 fps at the
+same resolution (BASELINE.json: ">= 30 fps 1080p on one v5e chip"), so
+``vs_baseline = fps / 30``.
+
+Env knobs: IVC_BENCH_H/W/FRAMES/ITERS/Q (defaults 1088/1920/8/3/1.0).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import sys
+import time
+
+
+def _tpu_alive(timeout_s: int = 90) -> bool:
+    """Probe device init with an alarm — the TPU tunnel can hang."""
+
+    class _Timeout(Exception):
+        pass
+
+    def _raise(*_):
+        raise _Timeout
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(timeout_s)
+    try:
+        import jax
+
+        jax.devices()
+        return True
+    except Exception:
+        return False
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def main():
+    H = int(os.environ.get("IVC_BENCH_H", 1088))
+    W = int(os.environ.get("IVC_BENCH_W", 1920))
+    T = int(os.environ.get("IVC_BENCH_FRAMES", 8))
+    iters = int(os.environ.get("IVC_BENCH_ITERS", 3))
+    q = float(os.environ.get("IVC_BENCH_Q", 1.0))
+
+    if not _tpu_alive():
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import numpy as np
+
+    from ivclab_tpu.models.fastvideo import FusedVideoCodec
+    from ivclab_tpu.utils import fixtures
+
+    frames = fixtures.video("bench", num_frames=T, shape=(H, W))
+    y = np.ascontiguousarray(frames.astype(np.float32).mean(axis=-1))
+
+    codec = FusedVideoCodec(quantization_scale=q)
+    codec.train(y[:2])
+
+    dev_y = jax.device_put(y)
+
+    def roundtrip():
+        qsyms, mvs, mv_bits, enc_recons = codec.encode_gop(dev_y)
+        words, totals, offsets, counts = codec.pack_gop(qsyms)
+        recons, ok = codec.decode_gop(words, offsets, counts, mvs, H, W)
+        return recons, totals + mv_bits, ok, enc_recons
+
+    # warmup / compile + correctness check
+    recons, bits, ok, enc_recons = roundtrip()
+    recons.block_until_ready()
+    assert bool(ok), "entropy decode failed"
+    err = float(abs(np.asarray(recons) - np.asarray(enc_recons)).max())
+    assert err < 1e-2, f"decoder mismatch: {err}"
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        recons, bits, ok, _ = roundtrip()
+    recons.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    pixels = H * W * T * iters
+    mpix_per_s = pixels / dt / 1e6
+    fps = pixels / (H * W) / dt
+    baseline_mpix = H * W * 30 / 1e6  # 30 fps real-time at this resolution
+
+    print(
+        json.dumps(
+            {
+                "metric": f"encode+decode {W}x{H} hybrid video throughput (1 chip, q={q})",
+                "value": round(mpix_per_s, 2),
+                "unit": "Mpix/s",
+                "vs_baseline": round(mpix_per_s / baseline_mpix, 3),
+                "detail": {
+                    "fps": round(fps, 2),
+                    "frames": T,
+                    "iters": iters,
+                    "mean_bpp": round(float(np.mean(np.asarray(bits))) / (H * W), 4),
+                    "backend": jax.default_backend(),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -135,7 +135,18 @@ def decode_blocks_device(words, block_bit_offsets, block_sym_counts, tables, max
         return bitpos, out
 
     out0 = jnp.zeros((B, max_syms), dtype=jnp.int32)
-    _, out = jax.lax.fori_loop(0, max_syms, body, (offs, out0))
+    max_needed = jnp.minimum(jnp.max(counts), max_syms)
+
+    def cond(carry):
+        i, _, _ = carry
+        return i < max_needed
+
+    def wbody(carry):
+        i, bitpos, out = carry
+        bitpos, out = body(i, (bitpos, out))
+        return i + 1, bitpos, out
+
+    _, _, out = jax.lax.while_loop(cond, wbody, (jnp.int32(0), offs, out0))
     return out
 
 
@@ -153,3 +164,45 @@ def decode_tables(code: CanonicalCode):
 def words_capacity(num_symbols: int, max_len: int = MAX_CODE_LEN) -> int:
     """Static u32 word capacity for a worst-case stream."""
     return (num_symbols * max_len + 31) // 32 + 1
+
+
+@partial(jax.jit, static_argnames=("group_size", "words_per_group"))
+def pack_codes_grouped(codes, lens, group_size: int, words_per_group: int):
+    """Two-level pack: groups of blocks -> word-aligned local streams.
+
+    TPU scatters into one flat global stream serialize badly; row-local
+    scatters vectorize. So blocks are packed in groups (rows of a
+    ``[G, words_per_group]`` buffer): a row-wise exclusive cumsum gives each
+    symbol its in-group bit offset, and the two word contributions scatter
+    within the row. Each group's stream is independently word-aligned —
+    the container records per-group word counts (the ~1 bit/block padding
+    is container overhead; payload rate accounting uses exact code
+    lengths).
+
+    codes/lens: ``[G, S]`` per-group symbol codes (uint32) and lengths
+    (int32, 0 = padded slot).
+    Returns (group_words ``[G, words_per_group]`` u32,
+             group_bits ``[G]`` i32,
+             slot_bit_offsets ``[G, S]`` i32  — in-group offsets).
+    """
+    G, S = lens.shape
+    codes = _u32(codes)
+    lens = jnp.asarray(lens, dtype=jnp.int32)
+
+    csum = jnp.cumsum(lens, axis=1)
+    off = csum - lens
+    group_bits = csum[:, -1]
+
+    shift_lj = _u32((32 - lens) & 31)
+    lj = jnp.where(lens > 0, codes << shift_lj, _u32(0))
+    word = off >> 5
+    shift = _u32(off & 31)
+    part1 = lj >> shift
+    part2 = jnp.where(shift == 0, _u32(0), lj << (_u32(32) - shift))
+
+    g_idx = jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32)[:, None], (G, S))
+    word = jnp.where(lens > 0, word, words_per_group + 2)
+    buf = jnp.zeros((G, words_per_group), dtype=U32)
+    buf = buf.at[g_idx, word].add(part1, mode="drop")
+    buf = buf.at[g_idx, word + 1].add(part2, mode="drop")
+    return buf, group_bits, off

@@ -21,7 +21,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ivclab_tpu.ops.bitpack import pack_codes, symbol_bit_layout
+from ivclab_tpu.ops.bitpack import pack_codes, pack_codes_grouped, symbol_bit_layout
 from ivclab_tpu.ops.dct import dct2_fused, idct2_fused
 from ivclab_tpu.ops.zerorun import BLOCK_CAP, zerorun_encode_blocks
 from ivclab_tpu.entropy.stats import histogram_int32
@@ -107,3 +107,44 @@ def pack_symbols(buf, valid_len, enc_codes, enc_lens, num_words: int, lower_boun
     words = pack_codes(codes, lens, off, num_words)
     block_offsets = off.reshape(N, cap)[:, 0]
     return words, total, block_offsets
+
+
+# Group geometry for the two-level packer: 16 blocks per word-aligned
+# substream. Worst case 16 blocks x 97 symbols x 32 bits = 1552 words.
+PACK_GROUP = 16
+GROUP_WORDS = 1600
+
+
+@partial(jax.jit, static_argnames=("lower_bound",))
+def pack_symbols_grouped(buf, valid_len, enc_codes, enc_lens, lower_bound: int):
+    """Huffman-pack per-block buffers into word-aligned group substreams.
+
+    This is the TPU-fast path (see ``pack_codes_grouped``): scatters stay
+    row-local. Blocks are grouped ``PACK_GROUP`` at a time; each group's
+    stream starts word-aligned. Returns:
+      group_words  [G, GROUP_WORDS] u32
+      group_bits   [G] i32   (exact payload bits, no padding)
+      block_bit_offsets [N] i32  — offsets into group_words.reshape(-1)
+                                    viewed as one bit stream
+      total_bits   i32 scalar (sum of code lengths = payload rate)
+    ``N`` must be a multiple of PACK_GROUP (pad with empty blocks upstream).
+    """
+    N, cap = buf.shape
+    G = N // PACK_GROUP
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    mask = pos[None, :] < valid_len[:, None]
+    idx = jnp.clip(buf - lower_bound, 0, enc_lens.shape[0] - 1)
+    lens = jnp.where(mask, enc_lens[idx], 0)
+    codes = jnp.where(mask, enc_codes[idx], 0)
+
+    lens_g = lens.reshape(G, PACK_GROUP * cap)
+    codes_g = codes.reshape(G, PACK_GROUP * cap)
+    group_words, group_bits, slot_off = pack_codes_grouped(
+        codes_g, lens_g, PACK_GROUP, GROUP_WORDS
+    )
+    # each block's first slot is at in-group slot j*cap
+    first_slot = slot_off.reshape(G, PACK_GROUP, cap)[:, :, 0]
+    base = (jnp.arange(G, dtype=jnp.int32) * (GROUP_WORDS * 32))[:, None]
+    block_offsets = (base + first_slot).reshape(-1)
+    total_bits = jnp.sum(group_bits)
+    return group_words, group_bits, block_offsets, total_bits

@@ -150,6 +150,46 @@ def zerorun_decode_stream(stream, num_symbols, num_blocks: int, block_size: int 
     return out, ok
 
 
+@partial(jax.jit, static_argnames=("block_size", "eob"))
+def zerorun_decode_blocks(buf, valid_len, block_size: int = 64, eob: int = DEFAULT_EOB):
+    """Decode per-block symbol buffers ``[N, CAP]`` -> ``[N, block_size]``.
+
+    Row-local counterpart of :func:`zerorun_decode_stream`: classification
+    and the coefficient-position prefix sum run within each row, and the
+    value scatter stays row-local — no global stream, no global cumsum.
+    This is the decode path the fused codec uses after the parallel
+    Huffman block decode.
+    """
+    s = jnp.asarray(buf, dtype=jnp.int32)
+    N, cap = s.shape
+    pos = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    valid_len = jnp.asarray(valid_len, dtype=jnp.int32)
+    valid = pos < valid_len[:, None]
+
+    is_eob = (s == eob) & valid
+    is_marker = (s == 0) & valid & ~is_eob
+    prev_marker = jnp.concatenate([jnp.zeros((N, 1), bool), is_marker[:, :-1]], axis=1)
+    is_runlen = prev_marker & valid
+    is_value = valid & ~is_eob & ~is_marker & ~is_runlen
+
+    run_next = jnp.concatenate([s[:, 1:], jnp.zeros((N, 1), jnp.int32)], axis=1)
+    contributed = jnp.where(is_marker, run_next, jnp.where(is_value, 1, 0))
+    csum = jnp.cumsum(contributed, axis=1)
+    coeff_pos = csum - contributed
+
+    out = jnp.zeros((N, block_size), dtype=jnp.int32)
+    row = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, cap))
+    tgt = jnp.where(is_value, jnp.minimum(coeff_pos, block_size - 1), block_size)
+    out = out.at[row, tgt].set(s, mode="drop")
+
+    terminated = jnp.where(
+        valid_len > 0, s[jnp.arange(N), jnp.maximum(valid_len - 1, 0)] == eob, False
+    )
+    no_overflow = jnp.all(jnp.where(valid, coeff_pos + contributed <= block_size, True))
+    ok = jnp.all(terminated) & no_overflow
+    return out, ok
+
+
 class ZeroRunCoder:
     """Facade matching ``ivclab/entropy/zerorun.py`` (encode/decode).
 
