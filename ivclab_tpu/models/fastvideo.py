@@ -31,7 +31,7 @@ from ivclab_tpu.entropy.stats import smooth_pmf
 from ivclab_tpu.models.intracodec import IntraCodec, bucket_bounds
 from ivclab_tpu.ops.bitpack import decode_blocks_device, decode_tables
 from ivclab_tpu.ops.dct import dct2_fused, idct2_fused
-from ivclab_tpu.ops.motion import motion_compensate, motion_search
+from ivclab_tpu.ops.motion import motion_compensate, motion_search, motion_search_auto
 from ivclab_tpu.ops.quant import quant_table_zigzag
 from ivclab_tpu.ops.transform import pack_symbols_grouped
 from ivclab_tpu.ops.zerorun import (
@@ -119,7 +119,7 @@ class FusedVideoCodec:
                 return qsym, mv, jnp.int32(0), recon
 
             def inter():
-                mv = motion_search(recon_prev, y, self.sr)
+                mv = motion_search_auto(recon_prev, y, self.sr)
                 pred = motion_compensate(recon_prev, mv, self.sr)
                 qsym, rrec = symbolize(y - pred)
                 mv_bits = jnp.sum(mv_lens[jnp.clip(mv, 0, mv_lens.shape[0] - 1)])

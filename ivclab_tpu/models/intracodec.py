@@ -38,14 +38,18 @@ from ivclab_tpu.ops.bitpack import decode_blocks_device, decode_tables
 from ivclab_tpu.ops.color import rgb2ycbcr, ycbcr2rgb
 from ivclab_tpu.ops.quant import quant_table_zigzag
 from ivclab_tpu.ops.transform import (
+    GROUP_WORDS,
+    PACK_GROUP,
     forward_symbolize,
     inverse_reconstruct,
     pack_symbols,
+    pack_symbols_grouped,
     symbol_histogram,
 )
 from ivclab_tpu.ops.zerorun import (
     BLOCK_CAP,
     compact_symbols,
+    zerorun_decode_blocks,
     zerorun_decode_stream,
 )
 from ivclab_tpu.runtime import native
@@ -235,6 +239,69 @@ class IntraCodec:
         recon = inverse_reconstruct(blocks, qt, (hp * 8, wp * 8, C))
         return self._finalize(recon, original_shape), ok
 
+    # ------------------------------------------------ container API
+
+    def encode_to_container(self, img, is_source_rgb: bool = True) -> bytes:
+        """Encode to a self-contained IVC1 byte stream (shape, codebook,
+        symbol count and the parallel-decode sidecar all included —
+        replacing the reference's side channels,
+        ivclab/image/intracodec.py:206-210, 252-263)."""
+        from ivclab_tpu.runtime import container as ct
+
+        code = self._require_code()
+        x, orig_shape = self._prepare(img, is_source_rgb)
+        _, inv_qt = self._tables(x.shape[2])
+        buf, valid_len, _ = forward_symbolize(x, inv_qt, self.end_of_block)
+        buf, valid_len, n_real = _pad_blocks(buf, valid_len)
+        group_words, group_bits, block_offsets, total_bits = pack_symbols_grouped(
+            buf, valid_len, self._enc_codes, self._enc_lens, code.lower_bound
+        )
+        self.num_symbols = int(jnp.sum(valid_len))
+        payload = ct.grouped_payload_from_device(
+            kind=ct.KIND_INTRA if len(orig_shape) == 3 else ct.KIND_PLANE,
+            shape=orig_shape,
+            q=self.quantization_scale,
+            eob=self.end_of_block,
+            num_symbols=self.num_symbols,
+            group_words=group_words,
+            group_bits=group_bits,
+            block_offsets=block_offsets,
+            block_counts=valid_len,
+            codebook=ct.Codebook(code.lower_bound, np.asarray(code.lengths, dtype=np.uint8)),
+            words_per_group=GROUP_WORDS,
+            group_size=PACK_GROUP,
+        )
+        return payload.to_bytes()
+
+    @staticmethod
+    def decode_from_container(data: bytes):
+        """Decode an IVC1 byte stream with a fresh codec (no shared state)."""
+        from ivclab_tpu.entropy.codebook import canonical_from_lengths
+        from ivclab_tpu.ops.bitpack import decode_blocks_device, decode_tables
+        from ivclab_tpu.runtime import container as ct
+
+        payload = ct.IntraPayload.from_bytes(data)
+        codec = IntraCodec(
+            quantization_scale=payload.quantization_scale,
+            end_of_block=payload.eob,
+        )
+        code = payload.codebook.canonical()
+        hp, wp, C = codec._padded_grid(payload.shape)
+        qt, _ = codec._tables(C)
+        words, offs, counts = ct.device_views(payload)
+        sym_idx = decode_blocks_device(words, offs, counts, decode_tables(code), BLOCK_CAP)
+        n_real = hp * wp * C
+        syms = jnp.where(
+            jnp.arange(BLOCK_CAP)[None, :] < counts[:, None],
+            sym_idx + code.lower_bound,
+            0,
+        )[:n_real]
+        blocks, ok = zerorun_decode_blocks(syms, counts[:n_real], 64, payload.eob)
+        if not bool(ok):
+            raise ValueError("container decode failed: corrupt stream")
+        recon = inverse_reconstruct(blocks, qt, (hp * 8, wp * 8, C))
+        return codec._finalize(recon, payload.shape)
+
     def encode_decode(self, img, return_bpp: bool = False, is_source_rgb: bool = True, verify_entropy: bool = False):
         """Encode and decode in one device round trip.
 
@@ -264,6 +331,16 @@ class IntraCodec:
             bpp = total_bits / (orig_shape[0] * orig_shape[1])
             return recon, bitstream, total_bits, bpp
         return recon, bitstream, total_bits
+
+
+def _pad_blocks(buf, valid_len, multiple: int = PACK_GROUP):
+    """Pad the block axis to a multiple of the pack group (empty blocks)."""
+    N = buf.shape[0]
+    pad = (-N) % multiple
+    if pad:
+        buf = jnp.concatenate([buf, jnp.zeros((pad, buf.shape[1]), buf.dtype)], axis=0)
+        valid_len = jnp.concatenate([valid_len, jnp.zeros((pad,), valid_len.dtype)], axis=0)
+    return buf, valid_len, N
 
 
 class IntraCodecAdaptive(IntraCodec):

@@ -206,3 +206,96 @@ def pack_codes_grouped(codes, lens, group_size: int, words_per_group: int):
     buf = buf.at[g_idx, word].add(part1, mode="drop")
     buf = buf.at[g_idx, word + 1].add(part2, mode="drop")
     return buf, group_bits, off
+
+
+@partial(jax.jit, static_argnames=("group_size", "words_per_group"))
+def pack_codes_grouped_dense(codes, lens, group_size: int = 16, words_per_group: int = 1600):
+    """Scatter-free grouped packer: dense one-hot accumulate + binary rolls.
+
+    TPU scatter throughput (~10 ns/update) makes the index-based packers
+    the pipeline bottleneck; every step here is a dense VPU op:
+
+      1. per-block pack: a ``fori_loop`` over symbol slots; at step i every
+         block deposits its i-th codeword's two word-parts into a private
+         ``[128]``-word row via an iota==word compare (one-hot masked add —
+         disjoint bit ranges make add == or);
+      2. per-block streams shift by their in-group bit phase (dense row
+         shift);
+      3. placement at each block's in-group word offset happens by rotating
+         rows with a binary-decomposed ``jnp.roll`` chain (11 dense steps),
+         accumulated into the group buffer.
+
+    codes/lens: ``[N, S]`` per-block symbol codes (u32) / lengths (i32,
+    0 = padded). N must be a multiple of ``group_size``.
+    Returns (group_words ``[G, words_per_group]`` u32, group_bits ``[G]``,
+    block_bit_offsets ``[N]`` — bit offsets into the flattened
+    ``group_words`` stream).
+    """
+    N, S = lens.shape
+    G = N // group_size
+    BW = 128  # per-block word buffer (>= ceil(97*32/32)+1)
+
+    lens = jnp.asarray(lens, dtype=jnp.int32)
+    codes = _u32(codes)
+
+    csum = jnp.cumsum(lens, axis=1)
+    off = csum - lens  # in-block bit offsets
+    block_bits = csum[:, -1]
+
+    shift_lj = _u32((32 - lens) & 31)
+    lj = jnp.where(lens > 0, codes << shift_lj, _u32(0))
+    word = off >> 5
+    sh = _u32(off & 31)
+    p1 = lj >> sh
+    p2 = jnp.where(sh == 0, _u32(0), lj << (_u32(32) - sh))
+
+    iota = jnp.arange(BW, dtype=jnp.int32)[None, :]
+    max_slots = jnp.max(jnp.sum((lens > 0).astype(jnp.int32), axis=1))
+
+    def body(i, acc):
+        wi = word[:, i][:, None]
+        acc = acc + jnp.where(iota == wi, p1[:, i][:, None], _u32(0))
+        acc = acc + jnp.where(iota == wi + 1, p2[:, i][:, None], _u32(0))
+        return acc
+
+    def cond_body(carry):
+        i, acc = carry
+        return i + 1, body(i, acc)
+
+    acc0 = jnp.zeros((N, BW), dtype=U32)
+    _, acc = jax.lax.while_loop(
+        lambda c: c[0] < max_slots, cond_body, (jnp.int32(0), acc0)
+    )
+
+    # in-group placement of each block's stream
+    Lg = block_bits.reshape(G, group_size)
+    O = jnp.cumsum(Lg, axis=1) - Lg  # in-group bit offsets [G, gs]
+    group_bits = jnp.sum(Lg, axis=1)
+
+    # phase shift: rotate each block's bits right by O & 31 within words
+    shp = _u32((O & 31).reshape(N))[:, None]
+    acc_prev = jnp.concatenate([jnp.zeros((N, 1), U32), acc[:, :-1]], axis=1)
+    shifted = jnp.where(
+        shp == 0,
+        acc,
+        (acc >> shp) | (acc_prev << (_u32(32) - shp)),
+    )
+    # the shift pushes up to 31 bits into one extra trailing word
+    spill = jnp.where(shp[:, 0] == 0, _u32(0), acc[:, -1] << (_u32(32) - shp[:, 0]))
+    shifted = jnp.concatenate([shifted, spill[:, None]], axis=1)  # [N, BW+1]
+
+    P = (O >> 5).reshape(G, group_size)  # word offsets
+    pad_w = 2048  # roll arena: power of two >= words_per_group + BW + 1
+    out = jnp.zeros((G, words_per_group), dtype=U32)
+    shifted_g = shifted.reshape(G, group_size, BW + 1)
+    for b in range(group_size):
+        x = jnp.zeros((G, pad_w), dtype=U32).at[:, : BW + 1].set(shifted_g[:, b])
+        pb = P[:, b]
+        for k in range(11):  # 2^11 = 2048 covers all offsets
+            bit = ((pb >> k) & 1) == 1
+            x = jnp.where(bit[:, None], jnp.roll(x, 1 << k, axis=1), x)
+        out = out + x[:, :words_per_group]
+
+    base = (jnp.arange(G, dtype=jnp.int32) * (words_per_group * 32))[:, None]
+    block_offsets = (base + O).reshape(-1)
+    return out, group_bits, block_offsets

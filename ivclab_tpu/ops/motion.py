@@ -107,3 +107,17 @@ class MotionCompensator:
     def reconstruct_with_motion_vector(self, ref_image, motion_vector):
         mv = jnp.asarray(np.asarray(motion_vector)[..., 0], dtype=jnp.int32)
         return np.asarray(motion_compensate(ref_image, mv, self.search_range))
+
+
+def motion_search_auto(ref_image, image, search_range: int = 4, block: int = 8):
+    """Backend dispatcher: Pallas kernel on TPU (when the padded reference
+    fits VMEM), XLA candidate scan elsewhere. Results are bit-identical."""
+    import jax
+
+    H, W = image.shape[-2], image.shape[-1]
+    vmem_need = (H + 2 * search_range) * (W + 2 * search_range) * 4 + H * 512 * 4
+    if jax.default_backend() == "tpu" and vmem_need < 12 * 1024 * 1024:
+        from ivclab_tpu.ops.motion_pallas import motion_search_pallas
+
+        return motion_search_pallas(ref_image, image, search_range, block)
+    return motion_search(ref_image, image, search_range, block)

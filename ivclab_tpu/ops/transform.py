@@ -21,7 +21,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ivclab_tpu.ops.bitpack import pack_codes, pack_codes_grouped, symbol_bit_layout
+from ivclab_tpu.ops.bitpack import (
+    pack_codes,
+    pack_codes_grouped,
+    pack_codes_grouped_dense,
+    symbol_bit_layout,
+)
 from ivclab_tpu.ops.dct import dct2_fused, idct2_fused
 from ivclab_tpu.ops.zerorun import BLOCK_CAP, zerorun_encode_blocks
 from ivclab_tpu.entropy.stats import histogram_int32
@@ -137,14 +142,9 @@ def pack_symbols_grouped(buf, valid_len, enc_codes, enc_lens, lower_bound: int):
     lens = jnp.where(mask, enc_lens[idx], 0)
     codes = jnp.where(mask, enc_codes[idx], 0)
 
-    lens_g = lens.reshape(G, PACK_GROUP * cap)
-    codes_g = codes.reshape(G, PACK_GROUP * cap)
-    group_words, group_bits, slot_off = pack_codes_grouped(
-        codes_g, lens_g, PACK_GROUP, GROUP_WORDS
+    del G
+    group_words, group_bits, block_offsets = pack_codes_grouped_dense(
+        codes, lens, PACK_GROUP, GROUP_WORDS
     )
-    # each block's first slot is at in-group slot j*cap
-    first_slot = slot_off.reshape(G, PACK_GROUP, cap)[:, :, 0]
-    base = (jnp.arange(G, dtype=jnp.int32) * (GROUP_WORDS * 32))[:, None]
-    block_offsets = (base + first_slot).reshape(-1)
     total_bits = jnp.sum(group_bits)
     return group_words, group_bits, block_offsets, total_bits

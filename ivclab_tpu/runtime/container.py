@@ -1,0 +1,212 @@
+"""Bitstream container format (IVC1).
+
+The reference leaks decoding state through side channels: the symbol count
+lives on the encoder object (``ivclab/image/intracodec.py:206-210``) and
+adaptive codebooks travel as Python pickles
+(``ivclab/image/intracodec.py:252-263``). IVC1 is a real wire format:
+
+  header      magic, version, codec kind, quantization scale, EOB,
+              search range, image shape, symbol count, payload bit count
+  codebook    lower bound + canonical code lengths (u8 each) — canonical
+              codes are fully reconstructible from lengths
+  layout      either one contiguous bit stream, or the TPU-native grouped
+              layout: word-aligned per-group substreams plus the per-block
+              sidecar (u16 in-group bit offset + u8 symbol count) that
+              makes device decode embarrassingly parallel
+
+Rate accounting: ``payload_bits`` is the exact sum of Huffman code lengths
+(the quantity the reference's ``bitrate`` reports and RD curves use);
+``container_bytes`` (the serialized size) additionally counts headers,
+codebook, alignment padding and the parallel-decode sidecar.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+MAGIC = b"IVC1"
+VERSION = 1
+
+KIND_INTRA = 0
+KIND_PLANE = 1
+KIND_VIDEO_FRAME = 2
+
+LAYOUT_CONTIGUOUS = 0
+LAYOUT_GROUPED = 1
+
+
+@dataclass
+class Codebook:
+    lower_bound: int
+    lengths: np.ndarray  # [n] uint8
+
+    def to_bytes(self) -> bytes:
+        return struct.pack("<iI", self.lower_bound, self.lengths.size) + self.lengths.astype(
+            np.uint8
+        ).tobytes()
+
+    @classmethod
+    def from_buffer(cls, buf: memoryview, off: int):
+        lower, n = struct.unpack_from("<iI", buf, off)
+        off += 8
+        lengths = np.frombuffer(buf, dtype=np.uint8, count=n, offset=off).copy()
+        return cls(lower, lengths), off + n
+
+    def canonical(self):
+        from ivclab_tpu.entropy.codebook import canonical_from_lengths
+
+        return canonical_from_lengths(self.lengths.astype(np.int32), self.lower_bound)
+
+
+@dataclass
+class IntraPayload:
+    """One coded plane/image."""
+
+    kind: int
+    shape: tuple  # (H, W) or (H, W, C)
+    quantization_scale: float
+    eob: int
+    num_symbols: int
+    payload_bits: int
+    codebook: Codebook
+    layout: int
+    # contiguous: words u32; grouped: (group_words compact u32,
+    # group_word_counts u32, block_offsets u16, block_counts u8,
+    # group_size, words_per_group)
+    words: np.ndarray
+    group_word_counts: np.ndarray | None = None
+    block_offsets: np.ndarray | None = None
+    block_counts: np.ndarray | None = None
+    group_size: int = 0
+    words_per_group: int = 0
+
+    def to_bytes(self) -> bytes:
+        H = self.shape[0]
+        W = self.shape[1]
+        C = self.shape[2] if len(self.shape) == 3 else 0  # 0 encodes "2-D shape"
+        head = struct.pack(
+            "<4sHBBfiIIIQQ",
+            MAGIC,
+            VERSION,
+            self.kind,
+            self.layout,
+            self.quantization_scale,
+            self.eob,
+            H,
+            W,
+            C,
+            self.num_symbols,
+            self.payload_bits,
+        )
+        body = [head, self.codebook.to_bytes()]
+        if self.layout == LAYOUT_CONTIGUOUS:
+            body.append(struct.pack("<Q", self.words.size))
+            body.append(self.words.astype("<u4").tobytes())
+        else:
+            gwc = self.group_word_counts.astype("<u4")
+            body.append(
+                struct.pack(
+                    "<HIIQ", self.group_size, self.words_per_group, gwc.size, self.block_offsets.size
+                )
+            )
+            body.append(gwc.tobytes())
+            body.append(self.block_offsets.astype("<u2").tobytes())
+            body.append(self.block_counts.astype(np.uint8).tobytes())
+            # compact: only each group's used words
+            parts = [
+                self.words[g, : int(gwc[g])].astype("<u4").tobytes()
+                for g in range(gwc.size)
+            ]
+            body.extend(parts)
+        return b"".join(body)
+
+    @classmethod
+    def from_bytes(cls, data: bytes):
+        buf = memoryview(data)
+        magic, version, kind, layout, q, eob, H, W, C, nsym, pbits = struct.unpack_from(
+            "<4sHBBfiIIIQQ", buf, 0
+        )
+        if magic != MAGIC:
+            raise ValueError("not an IVC1 container")
+        if version != VERSION:
+            raise ValueError(f"unsupported container version {version}")
+        off = struct.calcsize("<4sHBBfiIIIQQ")
+        codebook, off = Codebook.from_buffer(buf, off)
+        shape = (H, W) if C == 0 else (H, W, C)
+        if layout == LAYOUT_CONTIGUOUS:
+            (nwords,) = struct.unpack_from("<Q", buf, off)
+            off += 8
+            words = np.frombuffer(buf, dtype="<u4", count=nwords, offset=off).copy()
+            off += 4 * nwords
+            return cls(kind, shape, q, eob, nsym, pbits, codebook, layout, words)
+        group_size, wpg, n_groups, n_blocks = struct.unpack_from("<HIIQ", buf, off)
+        off += struct.calcsize("<HIIQ")
+        gwc = np.frombuffer(buf, dtype="<u4", count=n_groups, offset=off).copy()
+        off += 4 * n_groups
+        boffs = np.frombuffer(buf, dtype="<u2", count=n_blocks, offset=off).copy()
+        off += 2 * n_blocks
+        bcnts = np.frombuffer(buf, dtype=np.uint8, count=n_blocks, offset=off).copy()
+        off += n_blocks
+        words = np.zeros((n_groups, wpg), dtype=np.uint32)
+        for g in range(n_groups):
+            c = int(gwc[g])
+            words[g, :c] = np.frombuffer(buf, dtype="<u4", count=c, offset=off)
+            off += 4 * c
+        return cls(
+            kind, shape, q, eob, nsym, pbits, codebook, layout, words,
+            gwc, boffs, bcnts, group_size, wpg,
+        )
+
+    @property
+    def container_bytes(self) -> int:
+        return len(self.to_bytes())
+
+
+def grouped_payload_from_device(
+    kind, shape, q, eob, num_symbols, group_words, group_bits, block_offsets, block_counts,
+    codebook: Codebook, words_per_group: int, group_size: int,
+) -> IntraPayload:
+    """Assemble an IntraPayload from the device packer outputs."""
+    group_words = np.asarray(group_words)
+    group_bits = np.asarray(group_bits)
+    gwc = ((group_bits + 31) // 32).astype(np.uint32)
+    base = np.arange(group_words.shape[0], dtype=np.int64) * (words_per_group * 32)
+    in_group = np.asarray(block_offsets).astype(np.int64) - np.repeat(base, group_size)
+    if in_group.max(initial=0) >= 1 << 16:
+        raise ValueError("in-group offset exceeds u16 sidecar range")
+    return IntraPayload(
+        kind=kind,
+        shape=tuple(int(s) for s in shape),
+        quantization_scale=float(q),
+        eob=int(eob),
+        num_symbols=int(num_symbols),
+        payload_bits=int(np.sum(group_bits)),
+        codebook=codebook,
+        layout=LAYOUT_GROUPED,
+        words=group_words,
+        group_word_counts=gwc,
+        block_offsets=in_group.astype(np.uint16),
+        block_counts=np.asarray(block_counts).astype(np.uint8),
+        group_size=group_size,
+        words_per_group=words_per_group,
+    )
+
+
+def device_views(payload: IntraPayload):
+    """Device-ready (words_flat, block_bit_offsets, block_counts) arrays."""
+    import jax.numpy as jnp
+
+    if payload.layout != LAYOUT_GROUPED:
+        raise ValueError("device decode needs the grouped layout")
+    words = jnp.asarray(payload.words.reshape(-1))
+    base = (
+        np.arange(payload.group_word_counts.size, dtype=np.int64)
+        * (payload.words_per_group * 32)
+    )
+    offs = np.repeat(base, payload.group_size) + payload.block_offsets.astype(np.int64)
+    return words, jnp.asarray(offs.astype(np.int32)), jnp.asarray(
+        payload.block_counts.astype(np.int32)
+    )
