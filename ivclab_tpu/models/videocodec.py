@@ -152,6 +152,39 @@ class VideoCodec:
         recon_rgb = np.asarray(ycbcr2rgb(recon_ycbcr)).astype(np.uint8)
         return recon_rgb, bitstream, int(residual_bits) + int(motion_bits)
 
+    def encode_decode_sequence_checkpointed(self, frames, gop_size: int, checkpointer):
+        """GOP-granular fault-tolerant encode (SURVEY.md §5 'Failure
+        detection'): completed GOPs are loaded from the checkpointer, the
+        rest are encoded and persisted atomically. A crashed run resumes
+        re-encoding only its unfinished GOPs.
+        """
+        frames = np.asarray(frames)
+        T = frames.shape[0]
+        n_gops = -(-T // gop_size)
+        recons = np.zeros_like(frames)
+        bits = np.zeros(T, dtype=np.int64)
+        for g in range(n_gops):
+            lo, hi = g * gop_size, min((g + 1) * gop_size, T)
+            cached = checkpointer.load_gop(g)
+            if cached is not None:
+                # GOPs open with an I-frame, so no cross-GOP state is
+                # needed: restore outputs and skip the compute entirely
+                _, gop_recons, gop_bits = cached
+                recons[lo:hi] = gop_recons
+                bits[lo:hi] = gop_bits
+                continue
+            gop_recons, gop_bits = [], []
+            for t in range(lo, hi):
+                recon, _, b = self.encode_decode(frames[t], frame_num=t - lo)
+                gop_recons.append(recon)
+                gop_bits.append(b)
+            recons[lo:hi] = np.stack(gop_recons)
+            bits[lo:hi] = gop_bits
+            checkpointer.save_gop(
+                g, b"", np.stack(gop_recons), np.asarray(gop_bits, dtype=np.int64)
+            )
+        return recons, bits
+
     def encode_decode_sequence(self, frames, gop_size: int | None = None):
         """Encode a whole sequence; returns (recons, bits_per_frame).
 

@@ -121,3 +121,34 @@ def motion_search_auto(ref_image, image, search_range: int = 4, block: int = 8):
 
         return motion_search_pallas(ref_image, image, search_range, block)
     return motion_search(ref_image, image, search_range, block)
+
+
+@partial(jax.jit, static_argnames=("search_range", "block"))
+def motion_compensate_dense(ref_image, motion_idx, search_range: int = 4, block: int = 8):
+    """Select-based MC: accumulate the 81 shifted references under the
+    per-block motion masks. Replaces the per-pixel gather (TPU gathers are
+    latency-bound) with candidate-count dense passes; bit-identical to
+    :func:`motion_compensate` for in-bounds motion fields (the only fields
+    the encoder emits).
+    """
+    sr = search_range
+    ref = jnp.asarray(ref_image, dtype=jnp.float32)
+    if ref.ndim != 2:
+        raise ValueError("dense MC expects a single plane")
+    H, W = ref.shape
+    total = 2 * sr + 1
+    mv = jnp.asarray(motion_idx, dtype=jnp.int32)
+    mv_pix = jnp.repeat(jnp.repeat(mv, block, axis=0), block, axis=1)
+
+    ref_pad = jnp.pad(ref, ((sr, sr), (sr, sr)))
+    dys, dxs = np.meshgrid(np.arange(-sr, sr + 1), np.arange(-sr, sr + 1), indexing="ij")
+    candidates = jnp.asarray(np.stack([dys.ravel(), dxs.ravel()], axis=1), dtype=jnp.int32)
+
+    def body(acc, cand):
+        dy, dx = cand[0], cand[1]
+        idx = (dy + sr) * total + (dx + sr)
+        shifted = jax.lax.dynamic_slice(ref_pad, (sr + dy, sr + dx), (H, W))
+        return acc + jnp.where(mv_pix == idx, shifted, 0.0), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((H, W), jnp.float32), candidates)
+    return acc

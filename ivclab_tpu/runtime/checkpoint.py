@@ -30,7 +30,7 @@ class GopCheckpointer:
     def completed_gops(self) -> list[int]:
         return sorted(int(k) for k in self._load_manifest()["gops"])
 
-    def save_gop(self, gop_index: int, payload: bytes, last_recon: np.ndarray, bits: np.ndarray):
+    def save_gop(self, gop_index: int, payload: bytes, recon: np.ndarray, bits: np.ndarray):
         """Persist one GOP atomically (tmp + rename)."""
         stem = self.dir / f"gop_{gop_index:05d}"
         tmp = stem.with_suffix(".npz.tmp")
@@ -38,7 +38,7 @@ class GopCheckpointer:
             np.savez_compressed(
                 f,
                 payload=np.frombuffer(payload, dtype=np.uint8),
-                last_recon=np.asarray(last_recon),
+                recon=np.asarray(recon),
                 bits=np.asarray(bits),
             )
         tmp.rename(stem.with_suffix(".npz"))
@@ -52,12 +52,12 @@ class GopCheckpointer:
         mtmp.rename(self.manifest_path)
 
     def load_gop(self, gop_index: int):
-        """-> (payload bytes, last_recon, bits) or None if absent."""
+        """-> (payload bytes, recon array, bits) or None if absent."""
         path = self.dir / f"gop_{gop_index:05d}.npz"
         if not path.exists():
             return None
         with np.load(path) as z:
-            return bytes(z["payload"].tobytes()), z["last_recon"], z["bits"]
+            return bytes(z["payload"].tobytes()), z["recon"], z["bits"]
 
     def resume_plan(self, total_gops: int) -> list[int]:
         """GOP indices still to encode (reference skip-if-exists resume,

@@ -116,3 +116,14 @@ def test_gop_restart(foreman):
 # Pinned from the deterministic synthetic fixtures.
 GOLDEN_VIDEO_PSNR = 30.22
 GOLDEN_VIDEO_BPP = 0.708
+
+
+def test_dense_mc_matches_gather(rng):
+    from ivclab_tpu.ops.motion import motion_compensate_dense
+
+    ref = (rng.random((48, 64)) * 255).astype(np.float32)
+    cur = np.roll(ref, (3, -2), axis=(0, 1)).astype(np.float32)
+    mv = motion_search(ref, cur, 4)
+    a = np.asarray(motion_compensate(ref, mv, 4))
+    b = np.asarray(motion_compensate_dense(ref, mv, 4))
+    assert np.array_equal(a, b)
