@@ -115,11 +115,15 @@ def motion_search_auto(ref_image, image, search_range: int = 4, block: int = 8):
     import jax
 
     H, W = image.shape[-2], image.shape[-1]
-    vmem_need = (H + 2 * search_range) * (W + 2 * search_range) * 4 + H * 512 * 4
-    if jax.default_backend() == "tpu" and vmem_need < 12 * 1024 * 1024:
-        from ivclab_tpu.ops.motion_pallas import motion_search_pallas
+    if jax.default_backend() == "tpu":
+        from ivclab_tpu.ops.motion_pallas import _pick_panel_w, motion_search_pallas
 
-        return motion_search_pallas(ref_image, image, search_range, block)
+        panel_w = _pick_panel_w(H, W, search_range)
+        hp = -(-(H + 2 * search_range) // 8) * 8
+        total = 2 * search_range + 1
+        vmem_need = (total * hp + H) * panel_w * 4
+        if vmem_need < 12 * 1024 * 1024:
+            return motion_search_pallas(ref_image, image, search_range, block)
     return motion_search(ref_image, image, search_range, block)
 
 

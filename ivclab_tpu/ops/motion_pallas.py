@@ -2,17 +2,28 @@
 
 The XLA scan formulation (``ivclab_tpu/ops/motion.py``) re-reads the full
 reference frame once per candidate displacement — 81 HBM passes for
-search_range 4. This kernel holds the padded reference and a column panel
-of the current frame in VMEM and evaluates every candidate with full
-on-chip reuse: HBM traffic drops to one read of each frame.
+search_range 4. This kernel keeps a column panel of the current frame and
+the candidate reference windows in VMEM and evaluates every candidate with
+on-chip reuse: HBM traffic drops to ~(2*sr+2) frame reads (one per column
+shift + the current frame) regardless of the candidate count.
 
-Grid: one step per column panel. Per step the 81 (dy, dx) candidates are a
-fully unrolled compile-time loop of static-slice + subtract + square +
-blockwise reduction on the VPU, with a running (min SSD, argmin) pair kept
-in registers. Bounds masking reproduces the reference's out-of-bounds
-candidate skip (ivclab/video/motion.py:39-42), and strict-< updates keep
-the reference's first-in-scan-order tie-breaking, so motion fields are
-bit-identical to the XLA and reference-oracle searches.
+Mosaic constraints shape the layout: vector loads from VMEM must be
+128-aligned in the lane (column) dimension, while arbitrary *static*
+sublane (row) offsets are fine. So the 2*sr+1 column shifts are
+precomputed outside the kernel as static XLA slices of the padded
+reference (a ``[2sr+1, Hp, W]`` stack whose panels tile exactly), and the
+2*sr+1 row shifts are static in-kernel sublane slices of that stack. The
+8x8-block SSD reduction runs as two MXU matmuls against constant
+block-sum matrices (``R @ d2 @ C``) — no lane-dim reshapes.
+
+Bounds masking reproduces the reference's out-of-bounds candidate skip
+(ivclab/video/motion.py:39-42) and strict-< updates keep the reference's
+first-in-scan-order tie-breaking, so motion fields match the XLA search
+and the reference oracle.
+
+Output layout: ``[n_panels, hb, pwb]`` with one full block per grid step
+(the per-panel MV grid column count rarely satisfies the (8, 128) tiling,
+so the panel axis is hoisted to a leading dim and folded back outside).
 """
 
 from __future__ import annotations
@@ -26,12 +37,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _me_kernel(ref_ref, cur_ref, out_ref, *, sr, block, panel_w, H, W):
+def _me_kernel(ref_ref, cur_ref, rmat_ref, cmat_ref, out_ref, *, sr, block, panel_w, H, W):
     p = pl.program_id(0)
     hb = H // block
     pwb = panel_w // block
+    total = 2 * sr + 1
 
     cur = cur_ref[:, :]  # [H, panel_w]
+    rmat = rmat_ref[:, :]  # [hb, H] block-row summer
+    cmat = cmat_ref[:, :]  # [panel_w, pwb] block-col summer
     col0 = p * panel_w
 
     by = jax.lax.broadcasted_iota(jnp.int32, (hb, pwb), 0) * block
@@ -42,12 +56,21 @@ def _me_kernel(ref_ref, cur_ref, out_ref, *, sr, block, panel_w, H, W):
 
     for dy in range(-sr, sr + 1):
         for dx in range(-sr, sr + 1):
-            # ref is padded by sr on all sides; candidate window start:
-            ref_win = ref_ref[
-                pl.ds(sr + dy, H), pl.ds(pl.multiple_of(col0 + sr + dx, 1), panel_w)
-            ]
+            # column shift baked into the stack axis; row shift is a static
+            # sublane slice (arbitrary static row offsets lower to shifts)
+            ref_win = ref_ref[dx + sr, pl.ds(sr + dy, H), :]
             diff = cur - ref_win
-            ssd = (diff * diff).reshape(hb, block, pwb, block).sum(axis=(1, 3))
+            d2 = diff * diff
+            # HIGHEST: default TPU matmul precision is bf16, which perturbs
+            # SSDs by ~1e-4 relative and flips near-tie argmins vs the VPU
+            rows = jax.lax.dot(
+                rmat, d2, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            ssd = jax.lax.dot(
+                rows, cmat, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
             valid = (
                 (by + dy >= 0)
                 & (by + dy + block <= H)
@@ -55,12 +78,30 @@ def _me_kernel(ref_ref, cur_ref, out_ref, *, sr, block, panel_w, H, W):
                 & (bx + dx + block <= W)
             )
             ssd = jnp.where(valid, ssd, jnp.inf)
-            idx = (dy + sr) * (2 * sr + 1) + (dx + sr)
-            take = ssd < best_ssd
+            idx = (dy + sr) * total + (dx + sr)
+            take = ssd < best_ssd  # strict: first in scan order wins ties
             best_ssd = jnp.where(take, ssd, best_ssd)
             best_idx = jnp.where(take, idx, best_idx)
 
-    out_ref[:, :] = best_idx
+    out_ref[0, :, :] = best_idx
+
+
+def _block_sum_matrices(H: int, panel_w: int, block: int):
+    hb, pwb = H // block, panel_w // block
+    rmat = np.zeros((hb, H), dtype=np.float32)
+    rmat[np.arange(H) // block, np.arange(H)] = 1.0
+    cmat = np.zeros((panel_w, pwb), dtype=np.float32)
+    cmat[np.arange(panel_w), np.arange(panel_w) // block] = 1.0
+    return rmat, cmat
+
+
+def _pick_panel_w(H: int, W: int, sr: int, vmem_budget: int = 10 * 1024 * 1024) -> int:
+    total = 2 * sr + 1
+    hp = -(-(H + 2 * sr) // 8) * 8
+    for cand in (512, 384, 256, 128):
+        if W % cand == 0 and (total * hp + H) * cand * 4 < vmem_budget:
+            return cand
+    return W
 
 
 @partial(jax.jit, static_argnames=("search_range", "block", "interpret"))
@@ -70,33 +111,33 @@ def motion_search_pallas(ref_image, image, search_range: int = 4, block: int = 8
     ref = jnp.asarray(ref_image, dtype=jnp.float32)
     cur = jnp.asarray(image, dtype=jnp.float32)
     H, W = cur.shape
+    total = 2 * sr + 1
 
-    # pick a panel width that divides W, is a multiple of the block size,
-    # and keeps the cur panel comfortably inside VMEM
-    panel_w = W
-    for cand in (512, 384, 256, 128, 64):
-        if W % cand == 0 and cand >= block:
-            panel_w = cand
-            break
+    panel_w = _pick_panel_w(H, W, sr)
     n_panels = W // panel_w
+    hb, pwb = H // block, panel_w // block
 
-    ref_pad = jnp.pad(ref, ((sr, sr), (sr, sr)))
+    # pad rows to a multiple of 8 for the (sublane, lane) tiling; the extra
+    # rows are never selected by any in-bounds candidate
+    Hp = -(-(H + 2 * sr) // 8) * 8
+    ref_pad = jnp.pad(ref, ((sr, Hp - H - sr), (sr, sr)))
+    # the 2*sr+1 column shifts, stacked: ref_shifts[s, :, c] = ref_pad[:, c+s]
+    ref_shifts = jnp.stack([ref_pad[:, s : s + W] for s in range(total)])
 
-    kernel = partial(
-        _me_kernel, sr=sr, block=block, panel_w=panel_w, H=H, W=W
-    )
+    rmat, cmat = _block_sum_matrices(H, panel_w, block)
+
+    kernel = partial(_me_kernel, sr=sr, block=block, panel_w=panel_w, H=H, W=W)
     out = pl.pallas_call(
         kernel,
         grid=(n_panels,),
         in_specs=[
-            # full padded reference resident in VMEM across all panels
-            pl.BlockSpec((H + 2 * sr, W + 2 * sr), lambda p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((total, Hp, panel_w), lambda p: (0, 0, p), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, panel_w), lambda p: (0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, H), lambda p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((panel_w, pwb), lambda p: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (H // block, panel_w // block), lambda p: (0, p), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((H // block, W // block), jnp.int32),
+        out_specs=pl.BlockSpec((1, hb, pwb), lambda p: (p, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_panels, hb, pwb), jnp.int32),
         interpret=interpret,
-    )(ref_pad, cur)
-    return out
+    )(ref_shifts, cur, jnp.asarray(rmat), jnp.asarray(cmat))
+    return out.transpose(1, 0, 2).reshape(hb, n_panels * pwb)
