@@ -26,21 +26,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ivclab_tpu.entropy.codebook import CanonicalCode, build_canonical_code
+from ivclab_tpu.entropy.codebook import CanonicalCode, build_canonical_code, decode_lut16
 from ivclab_tpu.entropy.stats import smooth_pmf
 from ivclab_tpu.models.intracodec import IntraCodec, bucket_bounds
-from ivclab_tpu.ops.bitpack import decode_blocks_device, decode_tables
+from ivclab_tpu.ops.bitpack import decode_blocks_device, decode_blocks_lut, decode_tables
 from ivclab_tpu.ops.dct import dct2_fused, idct2_fused
 from ivclab_tpu.ops.motion import motion_compensate, motion_search, motion_search_auto
 from ivclab_tpu.ops.quant import quant_table_zigzag
-from ivclab_tpu.ops.transform import pack_symbols_grouped
+from ivclab_tpu.ops.transform import (
+    FAST_MAX_LEN,
+    block_words_for_cap,
+    pack_symbols_grouped,
+    pack_symbols_grouped_cap,
+)
 from ivclab_tpu.ops.zerorun import (
     BLOCK_CAP,
+    zerorun_counts,
     zerorun_decode_blocks,
+    zerorun_decode_blocks_dense,
     zerorun_encode_blocks,
+    zerorun_encode_blocks_dense,
 )
 
 EOB = 4000
+
+# Static symbol-capacity buckets: each bucket is a separately compiled
+# pack/decode program; the per-GOP max symbol count (zerorun_counts) picks
+# the smallest adequate bucket. 128 covers the 97-symbol worst case.
+CAP_BUCKETS = (32, 64, 128)
 
 
 def _plane_to_blocks(y):
@@ -88,10 +101,19 @@ class FusedVideoCodec:
         lo, hi = bucket_bounds(mn, mx)
         hist = sum(np.asarray(symbol_histogram(b, v, lo, hi)) for b, v in bufs)
         pmf = np.asarray(smooth_pmf(hist / hist.sum()), dtype=np.float64)
-        self.residual_code = build_canonical_code(pmf, lower_bound=lo)
+        # 16-bit length limit: negligible rate cost on smoothed pmfs, and it
+        # enables the flat-LUT decoder + halves worst-case buffer widths.
+        self.residual_code = build_canonical_code(pmf, lower_bound=lo, max_len=FAST_MAX_LEN)
+        self._dec_lut = jnp.asarray(decode_lut16(self.residual_code))
+        self._enc_fused = jnp.asarray(
+            (self.residual_code.codes.astype(np.uint32) << 6)
+            | self.residual_code.lengths.astype(np.uint32)
+        )
 
         n_mv = (2 * self.sr + 1) ** 2
-        self.mv_code = build_canonical_code(np.full(n_mv, 1.0 / n_mv), lower_bound=0)
+        self.mv_code = build_canonical_code(
+            np.full(n_mv, 1.0 / n_mv), lower_bound=0, max_len=FAST_MAX_LEN
+        )
         del probe
         return self
 
@@ -134,43 +156,52 @@ class FusedVideoCodec:
         )
         return qsyms, mvs, mv_bits, recons
 
-    @partial(jax.jit, static_argnames=("self",))
     def pack_gop(self, qsyms):
         """Per-frame Huffman packing of the residual symbol buffers.
 
-        Grouped two-level pack (word-aligned 16-block substreams, see
-        ``ops.transform.pack_symbols_grouped``). qsyms: [T, N, 64] ->
-        (group_words [T, G, GW] u32, total_bits [T],
-         block_offsets [T, N], block_counts [T, N]).
+        Host dispatcher: a cheap counts-only pre-pass picks the smallest
+        symbol-capacity bucket covering the GOP, then the cap-specialized
+        jitted program runs (dense zero-run encode + fused-table grouped
+        pack). qsyms: [T, N, 64] -> (group_words [T, G, GW] u32,
+        total_bits [T], block_offsets [T, N], block_counts [T, N]).
+        The decoder recovers the bucket from GW — no side channel.
         """
+        counts_max = int(jax.jit(lambda q: jnp.max(jax.vmap(zerorun_counts)(q.reshape(q.shape[0], -1, 64))))(qsyms))
+        cap = next(c for c in CAP_BUCKETS if c >= counts_max)
+        return self._pack_gop_cap(qsyms, cap)
+
+    @partial(jax.jit, static_argnames=("self", "cap"))
+    def _pack_gop_cap(self, qsyms, cap: int):
         code = self.residual_code
-        enc_codes = jnp.asarray(code.codes)
-        enc_lens = jnp.asarray(code.lengths)
+        lo = code.lower_bound
 
         def one(qsym):
-            buf, valid = zerorun_encode_blocks(qsym, 64, EOB)
-            group_words, _, offsets, total = pack_symbols_grouped(
-                buf, valid, enc_codes, enc_lens, code.lower_bound
+            buf, valid = zerorun_encode_blocks_dense(qsym, 64, EOB, cap)
+            group_words, _, offsets, total = pack_symbols_grouped_cap(
+                buf - lo, valid, self._enc_fused, cap
             )
             return group_words, total, offsets, valid
 
         return jax.vmap(one)(qsyms)
 
-    @partial(jax.jit, static_argnames=("self", "H", "W"))
     def decode_gop(self, words, block_offsets, block_counts, mvs, H: int, W: int):
         """Entropy decode + reconstruct the GOP from the packed streams."""
+        cap = (words.shape[-1] * 32) // (16 * FAST_MAX_LEN)  # invert group_words_for_cap
+        return self._decode_gop_cap(words, block_offsets, block_counts, mvs, H, W, cap)
+
+    @partial(jax.jit, static_argnames=("self", "H", "W", "cap"))
+    def _decode_gop_cap(self, words, block_offsets, block_counts, mvs, H: int, W: int, cap: int):
         code = self.residual_code
-        tables = decode_tables(code)
-        N = block_offsets.shape[1]
+        lw = block_words_for_cap(cap)
 
         def entropy_one(w, off, cnt):
-            sym_idx = decode_blocks_device(w.reshape(-1), off, cnt, tables, BLOCK_CAP)
+            sym_idx = decode_blocks_lut(w.reshape(-1), off, cnt, self._dec_lut, cap, lw)
             syms = jnp.where(
-                jnp.arange(BLOCK_CAP)[None, :] < cnt[:, None],
+                jnp.arange(cap)[None, :] < cnt[:, None],
                 sym_idx + code.lower_bound,
                 0,
             )
-            blocks, ok = zerorun_decode_blocks(syms, cnt, 64, EOB)
+            blocks, ok = zerorun_decode_blocks_dense(syms, cnt, 64, EOB)
             deq = (blocks.astype(jnp.float32) * self.qt[None, :]).astype(jnp.int32)
             plane = _blocks_to_plane(idct2_fused(deq.astype(jnp.float32)), H, W)
             return plane, ok

@@ -208,6 +208,133 @@ def pack_codes_grouped(codes, lens, group_size: int, words_per_group: int):
     return buf, group_bits, off
 
 
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+@partial(jax.jit, static_argnames=("group_size", "words_per_group", "block_words"))
+def pack_codes_grouped_dense2(codes, lens, group_size: int, words_per_group: int, block_words: int):
+    """Cap-sized variant of :func:`pack_codes_grouped_dense`.
+
+    Identical algorithm, but the per-block word buffer (``block_words``) and
+    the roll arena are sized from the actual symbol capacity instead of the
+    97-symbol worst case — the fused codec picks a capacity bucket per GOP
+    from :func:`ivclab_tpu.ops.zerorun.zerorun_counts`, which shrinks every
+    dense pass (deposit loop, phase shift, placement rolls) by the same
+    factor.
+    """
+    N, S = lens.shape
+    G = N // group_size
+    BW = block_words
+
+    lens = jnp.asarray(lens, dtype=jnp.int32)
+    codes = _u32(codes)
+
+    csum = jnp.cumsum(lens, axis=1)
+    off = csum - lens
+    block_bits = csum[:, -1]
+
+    shift_lj = _u32((32 - lens) & 31)
+    lj = jnp.where(lens > 0, codes << shift_lj, _u32(0))
+    word = off >> 5
+    sh = _u32(off & 31)
+    p1 = lj >> sh
+    p2 = jnp.where(sh == 0, _u32(0), lj << (_u32(32) - sh))
+
+    iota = jnp.arange(BW, dtype=jnp.int32)[None, :]
+    max_slots = jnp.max(jnp.sum((lens > 0).astype(jnp.int32), axis=1))
+
+    def cond_body(carry):
+        i, acc = carry
+        wi = word[:, i][:, None]
+        acc = acc + jnp.where(iota == wi, p1[:, i][:, None], _u32(0))
+        acc = acc + jnp.where(iota == wi + 1, p2[:, i][:, None], _u32(0))
+        return i + 1, acc
+
+    acc0 = jnp.zeros((N, BW), dtype=U32)
+    _, acc = jax.lax.while_loop(lambda c: c[0] < max_slots, cond_body, (jnp.int32(0), acc0))
+
+    Lg = block_bits.reshape(G, group_size)
+    O = jnp.cumsum(Lg, axis=1) - Lg
+    group_bits = jnp.sum(Lg, axis=1)
+
+    shp = _u32((O & 31).reshape(N))[:, None]
+    acc_prev = jnp.concatenate([jnp.zeros((N, 1), U32), acc[:, :-1]], axis=1)
+    shifted = jnp.where(shp == 0, acc, (acc >> shp) | (acc_prev << (_u32(32) - shp)))
+    spill = jnp.where(shp[:, 0] == 0, _u32(0), acc[:, -1] << (_u32(32) - shp[:, 0]))
+    shifted = jnp.concatenate([shifted, spill[:, None]], axis=1)  # [N, BW+1]
+
+    P = (O >> 5).reshape(G, group_size)
+    pad_w = _next_pow2(words_per_group + BW + 2)
+    n_steps = pad_w.bit_length() - 1
+    out = jnp.zeros((G, words_per_group), dtype=U32)
+    shifted_g = shifted.reshape(G, group_size, BW + 1)
+    for b in range(group_size):
+        x = jnp.zeros((G, pad_w), dtype=U32).at[:, : BW + 1].set(shifted_g[:, b])
+        pb = P[:, b]
+        for k in range(n_steps):
+            bit = ((pb >> k) & 1) == 1
+            x = jnp.where(bit[:, None], jnp.roll(x, 1 << k, axis=1), x)
+        out = out + x[:, :words_per_group]
+
+    base = (jnp.arange(G, dtype=jnp.int32) * (words_per_group * 32))[:, None]
+    block_offsets = (base + O).reshape(-1)
+    return out, group_bits, block_offsets
+
+
+@partial(jax.jit, static_argnames=("max_syms", "local_words"))
+def decode_blocks_lut(words, block_bit_offsets, block_sym_counts, lut, max_syms: int, local_words: int):
+    """Shift-register block decode against a 16-bit flat LUT.
+
+    Each block's substream is gathered ONCE into a private ``[local_words]``
+    row (enough words for ``max_syms`` codes of <= 16 bits) and phase-aligned
+    so the next code always starts at bit 31 of word 0. The decode loop is
+    then gather-free except for one ``lut[window >> 16]`` lookup per symbol:
+    consume = shift the whole row left by the decoded length (dense
+    adjacent-word ops). Returns ``[B, max_syms]`` 0-based alphabet indices.
+
+    This replaces :func:`decode_blocks_device`'s per-iteration stream-window
+    gathers + canonical table walk (2 big gathers + 3 table gathers per
+    symbol) with 1 small-table gather per symbol.
+    """
+    words = _u32(words).reshape(-1)
+    offs = jnp.asarray(block_bit_offsets, dtype=jnp.int32)
+    counts = jnp.asarray(block_sym_counts, dtype=jnp.int32)
+    lut = jnp.asarray(lut, dtype=jnp.int32)
+    B = offs.shape[0]
+    L = words.shape[0]
+
+    w0 = offs >> 5
+    phase = _u32(offs & 31)[:, None]
+    idx = jnp.clip(w0[:, None] + jnp.arange(local_words, dtype=jnp.int32)[None, :], 0, L - 1)
+    local = words[idx]  # [B, LW] — the one big gather
+    nxt = jnp.concatenate([local[:, 1:], jnp.zeros((B, 1), U32)], axis=1)
+    local = jnp.where(phase == 0, local, (local << phase) | (nxt >> (_u32(32) - phase)))
+
+    max_needed = jnp.minimum(jnp.max(counts), max_syms)
+
+    def wbody(carry):
+        i, local, out = carry
+        entry = lut[(local[:, 0] >> _u32(16)).astype(jnp.int32)]
+        length = entry & 31  # in [1, 16] for any valid window
+        sym = entry >> 5
+        active = i < counts
+        out = out.at[i].set(jnp.where(active, sym, 0))
+        lu = _u32(length)[:, None]
+        nxt = jnp.concatenate([local[:, 1:], jnp.zeros((B, 1), U32)], axis=1)
+        local = jnp.where(active[:, None], (local << lu) | (nxt >> (_u32(32) - lu)), local)
+        return i + 1, local, out
+
+    out0 = jnp.zeros((max_syms, B), dtype=jnp.int32)
+    _, _, out = jax.lax.while_loop(
+        lambda c: c[0] < max_needed, wbody, (jnp.int32(0), local, out0)
+    )
+    return out.T
+
+
 @partial(jax.jit, static_argnames=("group_size", "words_per_group"))
 def pack_codes_grouped_dense(codes, lens, group_size: int = 16, words_per_group: int = 1600):
     """Scatter-free grouped packer: dense one-hot accumulate + binary rolls.

@@ -80,6 +80,107 @@ def zerorun_encode_blocks(zz, block_size: int = 64, eob: int = DEFAULT_EOB):
     return buf, valid_len
 
 
+@partial(jax.jit, static_argnames=("block_size",))
+def zerorun_counts(zz, block_size: int = 64):
+    """Per-block symbol counts only (incl. EOB) — no buffer materialized.
+
+    Cheap pre-pass the fused codec uses to pick a static symbol capacity
+    bucket before tracing the cap-specialized encode/pack programs.
+    """
+    x = jnp.asarray(zz, dtype=jnp.int32)
+    N = x.shape[0]
+    pos = jnp.arange(block_size, dtype=jnp.int32)
+    nz = x != 0
+    last_nz = jnp.max(jnp.where(nz, pos[None, :], -1), axis=1)
+    in_range = pos[None, :] <= last_nz[:, None]
+    prev_nz = jnp.concatenate([jnp.ones((N, 1), dtype=bool), nz[:, :-1]], axis=1)
+    emit = (nz & in_range).astype(jnp.int32) + 2 * (in_range & (~nz) & prev_nz).astype(jnp.int32)
+    return jnp.sum(emit, axis=1) + 1
+
+
+@partial(jax.jit, static_argnames=("block_size", "eob", "cap"))
+def zerorun_encode_blocks_dense(zz, block_size: int = 64, eob: int = DEFAULT_EOB, cap: int = BLOCK_CAP):
+    """Scatter-free zero-run encode into ``[N, cap]`` buffers.
+
+    Same grammar as :func:`zerorun_encode_blocks`, but the output slots are
+    materialized with one-hot broadcast-reductions (TPU scatters serialize
+    at ~10 ns/element; the dense form is a fused VPU reduce). ``cap`` must
+    be >= max per-block symbol count (pick it from :func:`zerorun_counts`).
+    """
+    x = jnp.asarray(zz, dtype=jnp.int32)
+    N = x.shape[0]
+    pos = jnp.arange(block_size, dtype=jnp.int32)
+
+    nz = x != 0
+    last_nz = jnp.max(jnp.where(nz, pos[None, :], -1), axis=1)
+    in_range = pos[None, :] <= last_nz[:, None]
+    prev_nz = jnp.concatenate([jnp.ones((N, 1), dtype=bool), nz[:, :-1]], axis=1)
+    is_value = nz & in_range
+    run_start = in_range & (~nz) & prev_nz
+
+    idx_if_nz = jnp.where(nz, pos[None, :], block_size)
+    next_nz = jax.lax.cummin(idx_if_nz[:, ::-1], axis=1)[:, ::-1]
+    run_len = (next_nz - pos[None, :]).astype(jnp.int32)
+
+    emit = is_value.astype(jnp.int32) + 2 * run_start.astype(jnp.int32)
+    off = jnp.cumsum(emit, axis=1) - emit
+    total = off[:, -1] + emit[:, -1]
+    valid_len = total + 1
+
+    slots = jnp.arange(cap, dtype=jnp.int32)
+    val1 = jnp.where(is_value, x, 0)
+    val2 = jnp.where(run_start, run_len, 0)
+    # one-hot deposit: values at slot off, run lengths at off+1 (markers are
+    # literal zeros, so they need no write at all)
+    contrib = (
+        val1[:, :, None] * (off[:, :, None] == slots[None, None, :])
+        + val2[:, :, None] * ((off[:, :, None] + 1) == slots[None, None, :])
+    )
+    buf = jnp.sum(contrib, axis=1)
+    buf = buf + jnp.where(slots[None, :] == total[:, None], jnp.int32(eob), 0)
+    return buf, valid_len
+
+
+@partial(jax.jit, static_argnames=("block_size", "eob"))
+def zerorun_decode_blocks_dense(buf, valid_len, block_size: int = 64, eob: int = DEFAULT_EOB):
+    """Scatter-free row-local zero-run decode (``[N, cap]`` -> ``[N, block_size]``).
+
+    Identical semantics to :func:`zerorun_decode_blocks`; the value scatter
+    becomes a one-hot broadcast-reduce over coefficient positions.
+    """
+    s = jnp.asarray(buf, dtype=jnp.int32)
+    N, cap = s.shape
+    pos = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    valid_len = jnp.asarray(valid_len, dtype=jnp.int32)
+    valid = pos < valid_len[:, None]
+
+    is_eob = (s == eob) & valid
+    is_marker = (s == 0) & valid & ~is_eob
+    prev_marker = jnp.concatenate([jnp.zeros((N, 1), bool), is_marker[:, :-1]], axis=1)
+    is_runlen = prev_marker & valid
+    is_value = valid & ~is_eob & ~is_marker & ~is_runlen
+
+    run_next = jnp.concatenate([s[:, 1:], jnp.zeros((N, 1), jnp.int32)], axis=1)
+    contributed = jnp.where(is_marker, run_next, jnp.where(is_value, 1, 0))
+    csum = jnp.cumsum(contributed, axis=1)
+    coeff_pos = csum - contributed
+
+    cpos = jnp.where(is_value, jnp.minimum(coeff_pos, block_size - 1), block_size)
+    cols = jnp.arange(block_size, dtype=jnp.int32)
+    out = jnp.sum(
+        s[:, :, None] * (cpos[:, :, None] == cols[None, None, :]),
+        axis=1,
+        dtype=jnp.int32,
+    )
+
+    terminated = jnp.where(
+        valid_len > 0, s[jnp.arange(N), jnp.maximum(valid_len - 1, 0)] == eob, False
+    )
+    no_overflow = jnp.all(jnp.where(valid, coeff_pos + contributed <= block_size, True))
+    ok = jnp.all(terminated) & no_overflow
+    return out, ok
+
+
 @jax.jit
 def compact_symbols(buf, valid_len):
     """Left-pack per-block symbol buffers into one padded stream.
