@@ -60,21 +60,36 @@ def main():
     import jax
     import numpy as np
 
+    # persistent compile cache: repeat runs skip the ~30s warmup compiles
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/ivclab_jaxcache"),
+    )
+
     from ivclab_tpu.models.fastvideo import FusedVideoCodec
     from ivclab_tpu.utils import fixtures
 
     frames = fixtures.video("bench", num_frames=T, shape=(H, W))
     y = np.ascontiguousarray(frames.astype(np.float32).mean(axis=-1))
 
+    from ivclab_tpu.runtime.trace import StageTimer
+
     codec = FusedVideoCodec(quantization_scale=q)
     codec.train(y[:2])
 
     dev_y = jax.device_put(y)
 
-    def roundtrip():
-        qsyms, mvs, mv_bits, enc_recons = codec.encode_gop(dev_y)
-        words, totals, offsets, counts = codec.pack_gop(qsyms)
-        recons, ok = codec.decode_gop(words, offsets, counts, mvs, H, W)
+    def roundtrip(timer=None):
+        t = timer or StageTimer(enabled=False)
+        with t.stage("encode"):
+            qsyms, mvs, mv_bits, enc_recons = codec.encode_gop(dev_y)
+            jax.block_until_ready(qsyms)
+        with t.stage("pack"):
+            words, totals, offsets, counts = codec.pack_gop(qsyms)
+            jax.block_until_ready(words)
+        with t.stage("decode"):
+            recons, ok = codec.decode_gop(words, offsets, counts, mvs, H, W)
+            jax.block_until_ready(recons)
         return recons, totals + mv_bits, ok, enc_recons
 
     # warmup / compile + correctness check
@@ -84,9 +99,10 @@ def main():
     err = float(abs(np.asarray(recons) - np.asarray(enc_recons)).max())
     assert err < 1e-2, f"decoder mismatch: {err}"
 
+    timer = StageTimer(annotate=False)
     t0 = time.perf_counter()
     for _ in range(iters):
-        recons, bits, ok, _ = roundtrip()
+        recons, bits, ok, _ = roundtrip(timer)
     recons.block_until_ready()
     dt = time.perf_counter() - t0
 
@@ -108,6 +124,10 @@ def main():
                     "iters": iters,
                     "mean_bpp": round(float(np.mean(np.asarray(bits))) / (H * W), 4),
                     "backend": jax.default_backend(),
+                    "stages_ms_per_gop": {
+                        name: round(1000 * timer.totals[name] / iters, 1)
+                        for name in sorted(timer.totals)
+                    },
                 },
             }
         )

@@ -8,7 +8,7 @@ argparse flags.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, fields
+from dataclasses import MISSING, dataclass, field, fields
 
 
 @dataclass
@@ -54,21 +54,38 @@ class Config:
     mesh: MeshConfig = field(default_factory=MeshConfig)
 
 
+_SCALAR_TYPES = {"float": float, "int": int, "str": str, float: float, int: int, str: str}
+
+
 def add_dataclass_args(parser, dc_cls, prefix: str = ""):
-    """Expose a dataclass's scalar fields as --prefix-name flags."""
+    """Expose a dataclass's scalar fields as ``--prefix-name`` flags.
+
+    Returns the parser. Only scalar (float/int/str) fields are exposed;
+    compound fields (tuples, nested dataclasses) are skipped.
+    """
     for f in fields(dc_cls):
-        if f.type in ("float", "int", "str", float, int, str) or f.name in (
-            "quantization_scale", "search_range", "gop_size", "codebook_policy",
-            "end_of_block", "block",
-        ):
-            default = f.default if f.default is not f.default_factory else None
-            typ = {"float": float, "int": int, "str": str}.get(f.type, None)
-            if typ is None:
-                typ = type(default) if default is not None else str
-            parser.add_argument(
-                f"--{prefix}{f.name.replace('_', '-')}",
-                dest=f"{prefix.replace('-', '_')}{f.name}",
-                type=typ,
-                default=default,
-            )
+        default = f.default if f.default is not MISSING else (
+            f.default_factory() if f.default_factory is not MISSING else None
+        )
+        typ = _SCALAR_TYPES.get(f.type)
+        if typ is None and isinstance(default, (float, int, str)) and not isinstance(default, bool):
+            typ = type(default)
+        if typ is None:
+            continue
+        parser.add_argument(
+            f"--{prefix}{f.name.replace('_', '-')}",
+            dest=f"{prefix.replace('-', '_')}{f.name}",
+            type=typ,
+            default=default,
+        )
     return parser
+
+
+def dataclass_from_args(dc_cls, args, prefix: str = ""):
+    """Build a dataclass instance from parsed argparse flags."""
+    kwargs = {}
+    for f in fields(dc_cls):
+        key = f"{prefix.replace('-', '_')}{f.name}"
+        if hasattr(args, key) and getattr(args, key) is not None:
+            kwargs[f.name] = getattr(args, key)
+    return dc_cls(**kwargs)

@@ -19,7 +19,7 @@ import numpy as np
 
 from ivclab_tpu.ops.color import rgb2ycbcr
 from ivclab_tpu.ops.predictive import predict_from_neighbors
-from ivclab_tpu.ops.resample import decimate
+from ivclab_tpu.ops.resample import decimate_iir
 
 COEFFS_Y = (7 / 8, -4 / 8, 5 / 8)
 COEFFS_CBCR = (3 / 8, -2 / 8, 7 / 8)
@@ -40,9 +40,9 @@ def three_pixels_predictor(image, subsample_color_channels: bool = False):
     """Closed-loop 3-neighbor DPCM residuals for Y and CbCr.
 
     Y coefficients (7/8, -4/8, 5/8), CbCr (3/8, -2/8, 7/8); optional
-    chroma decimation by 2 (FIR zero-phase, as the reference's
-    scipy.signal.decimate, predictive.py:121-125). Returns int32 residuals
-    clipped to [-255, 255].
+    chroma decimation by 2 (order-8 Chebyshev-I IIR, zero-phase — the
+    scipy.signal.decimate default the reference uses,
+    predictive.py:121-125). Returns int32 residuals clipped to [-255, 255].
     """
     x = jnp.asarray(image, dtype=jnp.float32)
     ycbcr = rgb2ycbcr(x)
@@ -52,8 +52,8 @@ def three_pixels_predictor(image, subsample_color_channels: bool = False):
     residual_Y = predict_from_neighbors(Y, COEFFS_Y)
 
     if subsample_color_channels:
-        cb = decimate(decimate(CbCr[:, :, 0], 2, axis=0), 2, axis=1)
-        cr = decimate(decimate(CbCr[:, :, 1], 2, axis=0), 2, axis=1)
+        cb = decimate_iir(decimate_iir(CbCr[:, :, 0], 2, axis=0), 2, axis=1)
+        cr = decimate_iir(decimate_iir(CbCr[:, :, 1], 2, axis=0), 2, axis=1)
         CbCr = jnp.stack([cb, cr], axis=-1)
     residual_CbCr = predict_from_neighbors(CbCr, COEFFS_CBCR)
 

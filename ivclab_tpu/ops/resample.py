@@ -126,6 +126,91 @@ def decimate(x, q: int = 2, axis: int = 0):
     return y[tuple(sl)]
 
 
+# scipy.signal.cheby1(8, 0.05, 0.8/2) — the anti-alias IIR that
+# scipy.signal.decimate(q=2) defaults to (used by the reference's
+# three-pixel predictor chroma path, ivclab/image/predictive.py:122-123).
+# Derived once offline; kept as float64 constants so the filter is not a
+# runtime scipy dependency.
+_CHEBY1_Q2_B = np.array([
+    0.00069873707728414, 0.00558989661827313, 0.01956463816395597,
+    0.03912927632791193, 0.04891159540988991, 0.03912927632791193,
+    0.01956463816395597, 0.00558989661827313, 0.00069873707728414,
+])
+_CHEBY1_Q2_A = np.array([
+    1.0, -3.159100504614808, 5.967108107202708, -7.519348642687463,
+    6.827184931315479, -4.482072321959029, 2.070876731225458,
+    -0.6163275358434664, 0.09158859355707848,
+])
+# scipy.signal.lfilter_zi(b, a): steady-state initial conditions filtfilt
+# seeds each pass with (scaled by the first extended sample).
+_CHEBY1_Q2_ZI = np.array([
+    0.9935613368756748, -2.1529960610857475, 3.760296648702961,
+    -3.7550207651814698, 2.9840650341088955, -1.511409800512511,
+    0.528015613259219, -0.09036414472602423,
+])
+
+
+def _lfilter_scan(b, a, x, zi=None):
+    """Order-N IIR over axis 0 (direct form II transposed, lax.scan).
+
+    The sequential recursion is the filter definition; the scan runs it in
+    lockstep across the other axis on the VPU. float32 on device — the
+    cheby1 q=2 filter is well-conditioned enough for image-range data.
+    ``zi``: optional [n-1, B] initial state.
+    """
+    b = jnp.asarray(b, dtype=jnp.float32)
+    a = jnp.asarray(a, dtype=jnp.float32)
+    n = b.shape[0]
+    B = x.shape[1]
+
+    def step(z, xk):
+        yk = b[0] * xk + z[0]
+        znew = jnp.stack(
+            [b[i] * xk + z[i] - a[i] * yk for i in range(1, n - 1)]
+            + [b[n - 1] * xk - a[n - 1] * yk],
+            axis=0,
+        )
+        return znew, yk
+
+    z0 = jnp.zeros((n - 1, B), dtype=jnp.float32) if zi is None else zi
+    _, y = jax.lax.scan(step, z0, x)
+    return y
+
+
+def _filtfilt(b, a, zi, x, axis: int):
+    """Zero-phase IIR: scipy.signal.filtfilt defaults (odd-reflection
+    padding, padlen = 3 * max(len(a), len(b)), passes seeded with
+    ``lfilter_zi * first_sample``)."""
+    n = max(len(b), len(a))
+    pad = 3 * n
+    zi = jnp.asarray(zi, dtype=jnp.float32)[:, None]
+    xt = x.T if axis == 1 else x
+    top = 2.0 * xt[0] - xt[pad:0:-1]
+    bot = 2.0 * xt[-1] - xt[-2 : -pad - 2 : -1]
+    ext = jnp.concatenate([top, xt, bot], axis=0)
+    y = _lfilter_scan(b, a, ext, zi * ext[0][None, :])
+    yr = y[::-1]
+    y = _lfilter_scan(b, a, yr, zi * yr[0][None, :])[::-1]
+    y = y[pad:-pad]
+    return y.T if axis == 1 else y
+
+
+def decimate_iir(x, q: int = 2, axis: int = 0):
+    """IIR anti-alias decimate: ``scipy.signal.decimate(x, q)`` defaults
+    (order-8 Chebyshev-I, zero-phase via filtfilt), as the reference's
+    predictive chroma subsampling uses (``ivclab/image/predictive.py:122``).
+    Only q=2 is supported (the only factor the reference uses)."""
+    if q != 2:
+        raise NotImplementedError("decimate_iir supports q=2 only")
+    x = jnp.asarray(x, dtype=jnp.float32)
+    if x.ndim != 2:
+        raise ValueError("decimate_iir expects a 2-D plane")
+    y = _filtfilt(_CHEBY1_Q2_B, _CHEBY1_Q2_A, _CHEBY1_Q2_ZI, x, axis)
+    sl = [slice(None), slice(None)]
+    sl[axis] = slice(0, None, q)
+    return y[tuple(sl)]
+
+
 def fft_resample(x, num: int, axis: int = 0):
     """Fourier-domain resampling of a real signal along ``axis``.
 

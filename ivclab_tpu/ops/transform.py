@@ -161,6 +161,11 @@ def group_words_for_cap(cap: int) -> int:
     return PACK_GROUP * cap * FAST_MAX_LEN // 32
 
 
+def cap_from_group_words(words_per_group: int) -> int:
+    """Inverse of :func:`group_words_for_cap` (the decoder's bucket recovery)."""
+    return words_per_group * 32 // (PACK_GROUP * FAST_MAX_LEN)
+
+
 def block_words_for_cap(cap: int) -> int:
     return cap * FAST_MAX_LEN // 32 + 2
 

@@ -165,6 +165,158 @@ class IntraPayload:
         return len(self.to_bytes())
 
 
+@dataclass
+class GroupedSection:
+    """One grouped bitstream: word-aligned per-group substreams + the
+    per-block sidecar (u16 in-group bit offset, u8 symbol count) that makes
+    device decode embarrassingly parallel. The words array is stored
+    compacted (only each group's used words)."""
+
+    words: np.ndarray  # [G, words_per_group] u32 (zero-padded tail)
+    group_word_counts: np.ndarray  # [G] u32
+    block_offsets: np.ndarray  # [B] u16, in-group bit offsets
+    block_counts: np.ndarray  # [B] u8
+    group_size: int
+    words_per_group: int
+
+    def to_bytes(self) -> bytes:
+        gwc = self.group_word_counts.astype("<u4")
+        head = struct.pack(
+            "<HIIQ", self.group_size, self.words_per_group, gwc.size, self.block_offsets.size
+        )
+        parts = [head, gwc.tobytes(), self.block_offsets.astype("<u2").tobytes(),
+                 self.block_counts.astype(np.uint8).tobytes()]
+        # compact: concatenate only each group's used words
+        used = self.words.reshape(gwc.size, self.words_per_group)
+        mask = np.arange(self.words_per_group)[None, :] < gwc[:, None]
+        parts.append(used[mask].astype("<u4").tobytes())
+        return b"".join(parts)
+
+    @classmethod
+    def from_buffer(cls, buf: memoryview, off: int):
+        group_size, wpg, n_groups, n_blocks = struct.unpack_from("<HIIQ", buf, off)
+        off += struct.calcsize("<HIIQ")
+        gwc = np.frombuffer(buf, dtype="<u4", count=n_groups, offset=off).copy()
+        off += 4 * n_groups
+        boffs = np.frombuffer(buf, dtype="<u2", count=n_blocks, offset=off).copy()
+        off += 2 * n_blocks
+        bcnts = np.frombuffer(buf, dtype=np.uint8, count=n_blocks, offset=off).copy()
+        off += n_blocks
+        total_used = int(gwc.sum())
+        flat = np.frombuffer(buf, dtype="<u4", count=total_used, offset=off)
+        off += 4 * total_used
+        words = np.zeros((n_groups, wpg), dtype=np.uint32)
+        mask = np.arange(wpg)[None, :] < gwc[:, None]
+        words[mask] = flat
+        return cls(words, gwc, boffs, bcnts, group_size, wpg), off
+
+    @classmethod
+    def from_device(cls, group_words, group_bits, block_offsets, block_counts,
+                    group_size: int, words_per_group: int):
+        """Assemble from the device packer outputs. ``block_offsets`` are
+        bit offsets into the flattened stream (as the packer emits)."""
+        group_words = np.asarray(group_words).reshape(-1, words_per_group)
+        group_bits = np.asarray(group_bits).reshape(-1)
+        gwc = ((group_bits + 31) // 32).astype(np.uint32)
+        base = np.arange(group_words.shape[0], dtype=np.int64) * (words_per_group * 32)
+        in_group = np.asarray(block_offsets).reshape(-1).astype(np.int64) - np.repeat(
+            base, group_size
+        )
+        if in_group.max(initial=0) >= 1 << 16:
+            raise ValueError("in-group offset exceeds u16 sidecar range")
+        return cls(
+            words=group_words,
+            group_word_counts=gwc,
+            block_offsets=in_group.astype(np.uint16),
+            block_counts=np.asarray(block_counts).reshape(-1).astype(np.uint8),
+            group_size=group_size,
+            words_per_group=words_per_group,
+        )
+
+    def device_views(self):
+        """(words_flat u32, block_bit_offsets i32, block_counts i32) jnp arrays."""
+        import jax.numpy as jnp
+
+        base = np.arange(self.group_word_counts.size, dtype=np.int64) * (
+            self.words_per_group * 32
+        )
+        offs = np.repeat(base, self.group_size) + self.block_offsets.astype(np.int64)
+        return (
+            jnp.asarray(self.words.reshape(-1)),
+            jnp.asarray(offs.astype(np.int32)),
+            jnp.asarray(self.block_counts.astype(np.int32)),
+        )
+
+
+@dataclass
+class VideoPayload:
+    """A coded GOP: the flagship hybrid codec's wire format.
+
+    The reference's video codec returns in-memory word arrays and decodes
+    from encoder state (``ivclab/video/videocodec.py:57-86``); this is the
+    self-contained equivalent: a separate process can reconstruct the GOP
+    from bytes alone. Layout:
+
+      header     magic, version, kind=KIND_VIDEO_GOP, q, eob, search range,
+                 T/H/W, payload bit count (exact residual+MV code lengths)
+      codebooks  residual + motion-vector canonical lengths
+      sections   per-GOP residual grouped stream ([T*N] blocks, frames on
+                 the block axis) + MV grouped stream (frames 1..T-1, 64
+                 symbols per block)
+    """
+
+    quantization_scale: float
+    eob: int
+    search_range: int
+    shape: tuple  # (T, H, W)
+    payload_bits: int
+    residual_codebook: Codebook
+    mv_codebook: Codebook
+    residual: GroupedSection
+    mv: GroupedSection
+
+    def to_bytes(self) -> bytes:
+        T, H, W = self.shape
+        head = struct.pack(
+            "<4sHBBfiIIIQ",
+            MAGIC, VERSION, KIND_VIDEO_GOP, 0,
+            self.quantization_scale, self.eob,
+            T, H, W, self.payload_bits,
+        ) + struct.pack("<B", self.search_range)
+        return b"".join([
+            head,
+            self.residual_codebook.to_bytes(),
+            self.mv_codebook.to_bytes(),
+            self.residual.to_bytes(),
+            self.mv.to_bytes(),
+        ])
+
+    @classmethod
+    def from_bytes(cls, data: bytes):
+        buf = memoryview(data)
+        magic, version, kind, _, q, eob, T, H, W, pbits = struct.unpack_from(
+            "<4sHBBfiIIIQ", buf, 0
+        )
+        if magic != MAGIC:
+            raise ValueError("not an IVC1 container")
+        if version != VERSION:
+            raise ValueError(f"unsupported container version {version}")
+        if kind != KIND_VIDEO_GOP:
+            raise ValueError(f"not a video GOP container (kind={kind})")
+        off = struct.calcsize("<4sHBBfiIIIQ")
+        (sr,) = struct.unpack_from("<B", buf, off)
+        off += 1
+        res_cb, off = Codebook.from_buffer(buf, off)
+        mv_cb, off = Codebook.from_buffer(buf, off)
+        residual, off = GroupedSection.from_buffer(buf, off)
+        mv, off = GroupedSection.from_buffer(buf, off)
+        return cls(q, eob, sr, (T, H, W), pbits, res_cb, mv_cb, residual, mv)
+
+    @property
+    def container_bytes(self) -> int:
+        return len(self.to_bytes())
+
+
 def grouped_payload_from_device(
     kind, shape, q, eob, num_symbols, group_words, group_bits, block_offsets, block_counts,
     codebook: Codebook, words_per_group: int, group_size: int,
