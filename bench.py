@@ -85,10 +85,12 @@ def main():
             qsyms, mvs, mv_bits, enc_recons = codec.encode_gop(dev_y)
             jax.block_until_ready(qsyms)
         with t.stage("pack"):
-            words, totals, offsets, counts = codec.pack_gop(qsyms)
+            words, totals, offsets, counts, bw = codec.pack_gop(qsyms)
             jax.block_until_ready(words)
         with t.stage("decode"):
-            recons, ok = codec.decode_gop(words, offsets, counts, mvs, H, W)
+            recons, ok = codec.decode_gop(
+                words, offsets, counts, mvs, H, W, bw, cap=codec._buckets[0]
+            )
             jax.block_until_ready(recons)
         return recons, totals + mv_bits, ok, enc_recons
 

