@@ -85,14 +85,14 @@ def main():
             qsyms, mvs, mv_bits, enc_recons = codec.encode_gop(dev_y)
             jax.block_until_ready(qsyms)
         with t.stage("pack"):
-            words, totals, offsets, counts, bw = codec.pack_gop(qsyms)
-            jax.block_until_ready(words)
+            p = codec.pack_gop(qsyms)
+            jax.block_until_ready(p.words)
         with t.stage("decode"):
             recons, ok = codec.decode_gop(
-                words, offsets, counts, mvs, H, W, bw, cap=codec._buckets[0]
+                p.words, p.offsets, p.counts, mvs, H, W, p.block_words, p.cap
             )
             jax.block_until_ready(recons)
-        return recons, totals + mv_bits, ok, enc_recons
+        return recons, p.totals + mv_bits, ok, enc_recons
 
     # warmup / compile + correctness check
     recons, bits, ok, enc_recons = roundtrip()

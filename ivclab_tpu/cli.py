@@ -92,29 +92,99 @@ def cmd_roundtrip_image(args):
     print(json.dumps({"psnr_db": round(float(calc_psnr(img, recon)), 3), "bpp": round(bpp, 4)}))
 
 
+STREAM_MAGIC = b"IVCS"
+
+
+def write_video_stream(path, gop_blobs):
+    """Write a sequence of GOP payloads with length framing."""
+    import struct
+
+    with open(path, "wb") as f:
+        f.write(STREAM_MAGIC + struct.pack("<HI", 1, len(gop_blobs)))
+        for blob in gop_blobs:
+            f.write(struct.pack("<Q", len(blob)))
+            f.write(blob)
+
+
+def read_video_stream(path):
+    import struct
+
+    data = Path(path).read_bytes()
+    if data[:4] != STREAM_MAGIC:
+        raise ValueError("not an IVCS video stream")
+    _, n = struct.unpack_from("<HI", data, 4)
+    off = 4 + struct.calcsize("<HI")
+    blobs = []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<Q", data, off)
+        off += 8
+        blobs.append(bytes(data[off : off + ln]))
+        off += ln
+    return blobs
+
+
 def cmd_encode_video(args):
-    from ivclab_tpu.models import VideoCodec
+    """Encode to a real .ivc bitstream file (fused GOP codec, Y plane —
+    the reference's video codec is also luma-only,
+    ivclab/video/videocodec.py:77-80) and report RD stats."""
+    from ivclab_tpu.models.fastvideo import FusedVideoCodec
+    from ivclab_tpu.ops.color import rgb2ycbcr
     from ivclab_tpu.utils import calc_psnr
 
     frames = _load_video(args.input, args.frames)
-    codec = VideoCodec(
-        quantization_scale=args.q,
-        search_range=args.search_range,
-        codebook_policy=args.codebook_policy,
-    )
-    recons, bits = codec.encode_decode_sequence(frames, gop_size=args.gop)
-    psnrs = [float(calc_psnr(frames[t], recons[t])) for t in range(frames.shape[0])]
-    bpps = bits / (frames[0].size / 3)
+    y = np.asarray(rgb2ycbcr(frames.astype(np.float32)))[..., 0]
+    gop = args.gop or frames.shape[0]
+    # pad the frame count to whole GOPs (each opens with an I-frame)
+    codec = FusedVideoCodec(quantization_scale=args.q, search_range=args.search_range)
+    codec.train(y[: min(2, y.shape[0])])
+    blobs, recons, bits = [], [], []
+    for start in range(0, y.shape[0], gop):
+        chunk = y[start : start + gop]
+        blobs.append(codec.encode_to_container(chunk))
+        r, b, ok, _ = codec.encode_decode_gop(chunk)
+        assert bool(ok), "entropy decode self-check failed"
+        recons.append(np.asarray(r))
+        bits.extend(int(x) for x in np.asarray(b))
+    write_video_stream(args.output, blobs)
+    recon_y = np.concatenate(recons)
+    psnrs = [float(calc_psnr(y[t], recon_y[t])) for t in range(y.shape[0])]
     print(
         json.dumps(
             {
-                "frames": int(frames.shape[0]),
-                "mean_psnr_db": round(float(np.mean(psnrs)), 3),
-                "mean_bpp": round(float(np.mean(bpps)), 4),
-                "per_frame_bits": [int(b) for b in bits],
+                "output": args.output,
+                "container_bytes": sum(len(b) for b in blobs),
+                "frames": int(y.shape[0]),
+                "gops": len(blobs),
+                "mean_psnr_y_db": round(float(np.mean(psnrs)), 3),
+                "mean_bpp": round(float(np.mean(bits)) / (y.shape[1] * y.shape[2]), 4),
+                "per_frame_bits": bits,
             }
         )
     )
+
+
+def cmd_decode_video(args):
+    """Reconstruct Y frames from a .ivc stream file alone."""
+    from ivclab_tpu.models.fastvideo import FusedVideoCodec
+
+    blobs = read_video_stream(args.input)
+    frames = []
+    for blob in blobs:
+        recons, ok = FusedVideoCodec.decode_from_container(blob)
+        if not bool(ok):
+            raise SystemExit("corrupt GOP payload: entropy decode failed")
+        frames.append(np.asarray(recons))
+    out = np.clip(np.round(np.concatenate(frames)), 0, 255).astype(np.uint8)
+    outp = Path(args.output)
+    if outp.suffix == ".npy":
+        np.save(outp, out)
+    else:
+        from ivclab_tpu.utils.io import imwrite
+
+        outp.mkdir(parents=True, exist_ok=True)
+        for t in range(out.shape[0]):
+            imwrite(str(outp / f"frame{t:04d}.png"), out[t])
+    print(json.dumps({"frames": int(out.shape[0]), "shape": list(out.shape[1:])}))
 
 
 def cmd_rd_sweep(args):
@@ -156,9 +226,44 @@ def cmd_rd_sweep(args):
 
 
 def cmd_info(args):
-    from ivclab_tpu.runtime.container import IntraPayload
+    from ivclab_tpu.runtime.container import KIND_VIDEO_GOP, IntraPayload, VideoPayload
 
-    p = IntraPayload.from_bytes(Path(args.input).read_bytes())
+    data = Path(args.input).read_bytes()
+    if data[:4] == STREAM_MAGIC:
+        infos = []
+        for blob in read_video_stream(args.input):
+            p = VideoPayload.from_bytes(blob)
+            T, H, W = p.shape
+            infos.append(
+                {
+                    "shape": [T, H, W],
+                    "quantization_scale": p.quantization_scale,
+                    "search_range": p.search_range,
+                    "payload_bits": p.payload_bits,
+                    "per_frame_bits": [int(b) for b in p.frame_bits],
+                    "container_bytes": p.container_bytes,
+                    "residual_hot_symbols": int(p.residual_codebook.hot_values.size),
+                    "mean_bpp": round(p.payload_bits / (T * H * W), 4),
+                }
+            )
+        print(json.dumps({"kind": "video-stream", "gops": infos}))
+        return
+    if len(data) > 10 and data[:4] == b"IVC1" and data[6] == KIND_VIDEO_GOP:
+        p = VideoPayload.from_bytes(data)
+        T, H, W = p.shape
+        print(
+            json.dumps(
+                {
+                    "kind": "video-gop",
+                    "shape": [T, H, W],
+                    "payload_bits": p.payload_bits,
+                    "per_frame_bits": [int(b) for b in p.frame_bits],
+                    "container_bytes": p.container_bytes,
+                }
+            )
+        )
+        return
+    p = IntraPayload.from_bytes(data)
     print(
         json.dumps(
             {
@@ -197,12 +302,17 @@ def build_parser():
 
     p = sub.add_parser("encode-video")
     p.add_argument("input")
+    p.add_argument("output")
     p.add_argument("--q", type=float, default=1.0)
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--gop", type=int, default=None)
     p.add_argument("--search-range", type=int, default=4)
-    p.add_argument("--codebook-policy", default="per-frame")
     p.set_defaults(fn=cmd_encode_video)
+
+    p = sub.add_parser("decode-video")
+    p.add_argument("input")
+    p.add_argument("output", help=".npy file or a directory for PNG frames")
+    p.set_defaults(fn=cmd_decode_video)
 
     p = sub.add_parser("rd-sweep")
     p.add_argument("--kind", default="image", choices=["image", "video", "dpcm"])

@@ -283,6 +283,40 @@ class HotCode:
         return max(int(self.code.lengths.max()), esc_len + self.raw_bits)
 
 
+def hot_code_from_parts(
+    lower_bound: int, alphabet_n: int, hot_values: np.ndarray, lengths: np.ndarray
+) -> HotCode:
+    """Rebuild a HotCode from its transmissible parts.
+
+    ``lengths`` covers the K hot symbols plus the trailing ESCAPE entry.
+    Canonical code assignment depends only on the lengths, so (hot_values,
+    lengths, lower_bound, alphabet_n) fully determine the code — this is
+    what the container serializes.
+    """
+    hot = np.asarray(hot_values, dtype=np.int32)
+    lengths = np.asarray(lengths, dtype=np.int32)
+    Ke = hot.size
+    if lengths.size != Ke + 1:
+        raise ValueError("lengths must cover the hot symbols plus ESCAPE")
+    code = canonical_from_lengths(lengths, lower_bound=0)
+    raw_bits = max(int(np.ceil(np.log2(max(alphabet_n, 2)))), 1)
+    if raw_bits + int(lengths.max()) > 32:
+        raise ValueError("escape code + raw payload must fit 32 bits")
+    alpha_of_rank = np.zeros(Ke + 1, dtype=np.int32)
+    for rank, slot in enumerate(code.sorted_syms):
+        alpha_of_rank[rank] = hot[slot] if slot < Ke else 0
+    esc_rank = int(np.nonzero(code.sorted_syms == Ke)[0][0])
+    return HotCode(
+        lower_bound=int(lower_bound),
+        alphabet_n=int(alphabet_n),
+        hot_values=hot,
+        code=code,
+        raw_bits=raw_bits,
+        esc_rank=esc_rank,
+        alpha_of_rank=alpha_of_rank,
+    )
+
+
 def build_hot_code(
     hist: np.ndarray, lower_bound: int = 0, K: int = 127, max_len: int = 16
 ) -> HotCode:
@@ -294,25 +328,8 @@ def build_hot_code(
     hot = hot[hist[hot] > 0]
     if hot.size == 0:
         hot = order[:1]  # degenerate: empty stream; keep one symbol
-    Ke = hot.size
     esc_mass = float(hist.sum() - hist[hot].sum())
     pmf = np.concatenate([hist[hot], [max(esc_mass, 1e-9 * max(hist.sum(), 1.0))]])
     pmf = pmf / pmf.sum()
     code = build_canonical_code(pmf, lower_bound=0, max_len=max_len)
-    raw_bits = max(int(np.ceil(np.log2(max(A, 2)))), 1)
-    if raw_bits + max_len > 32:
-        raise ValueError("escape code + raw payload must fit 32 bits")
-    # canonical rank -> alphabet index (ESCAPE's slot is unused on decode)
-    alpha_of_rank = np.zeros(Ke + 1, dtype=np.int32)
-    for rank, slot in enumerate(code.sorted_syms):
-        alpha_of_rank[rank] = hot[slot] if slot < Ke else 0
-    esc_rank = int(np.nonzero(code.sorted_syms == Ke)[0][0])
-    return HotCode(
-        lower_bound=int(lower_bound),
-        alphabet_n=int(A),
-        hot_values=hot.astype(np.int32),
-        code=code,
-        raw_bits=raw_bits,
-        esc_rank=esc_rank,
-        alpha_of_rank=alpha_of_rank,
-    )
+    return hot_code_from_parts(lower_bound, A, hot, code.lengths)

@@ -37,6 +37,7 @@ thousands) dominated both pack (127 ms/GOP for the code gather alone at
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -79,6 +80,18 @@ def _bucket(v: int, buckets) -> int:
         if b >= v:
             return b
     raise ValueError(f"{v} exceeds the largest bucket {buckets[-1]}")
+
+
+class PackedGop(NamedTuple):
+    """Device-side result of :meth:`FusedVideoCodec.pack_gop`."""
+
+    words: jnp.ndarray        # [T, G, GW] u32 group substreams
+    totals: jnp.ndarray       # [T] exact residual payload bits
+    offsets: jnp.ndarray      # [T, N] frame-relative block bit offsets
+    counts: jnp.ndarray       # [T, N] per-block symbol counts
+    group_bits: jnp.ndarray   # [T, G] exact per-group bits
+    block_words: int          # decoder shift-register width (bucketed)
+    cap: int                  # symbol-capacity bucket
 
 
 def _plane_to_blocks(y):
@@ -211,6 +224,27 @@ def _decode_gop_hot(words, block_offsets, block_counts, mvs,
     return recons, ok
 
 
+@partial(jax.jit, static_argnames=("n_blocks", "raw_bits"))
+def _map_stream_hot(flat_syms, hot_vals, hot_fused, esc_code, esc_len,
+                    n_blocks: int, raw_bits: int):
+    """Flat symbol stream -> 64-symbol blocks + dense hot code mapping."""
+    M = flat_syms.shape[0]
+    S = 64
+    padded = jnp.zeros((n_blocks * S,), jnp.int32).at[:M].set(flat_syms)
+    buf = padded.reshape(n_blocks, S)
+    counts = jnp.clip(M - jnp.arange(n_blocks, dtype=jnp.int32) * S, 0, S)
+    codes, lens = map_codes_hot(buf, counts, hot_vals, hot_fused, esc_code, esc_len, raw_bits)
+    bw_max, gw_max = pack_extents(lens)
+    return codes, lens, counts, bw_max, gw_max
+
+
+@partial(jax.jit, static_argnames=("cap", "lw", "raw_bits"))
+def _decode_stream_hot(words, offsets, counts, lj, fc, go, ar, min_len, esc_rank,
+                       cap: int, lw: int, raw_bits: int):
+    local = locals_from_groups(words, offsets, PACK_GROUP, lw)
+    return decode_blocks_hot(local, counts, lj, fc, go, ar, min_len, esc_rank, cap, raw_bits)
+
+
 class FusedVideoCodec:
     """Fixed-codebook hybrid codec with fully device-resident GOP phases."""
 
@@ -326,8 +360,10 @@ class FusedVideoCodec:
         words = group_words.reshape(T, G, gw)
         frame_base = (jnp.arange(T, dtype=jnp.int32) * (G * gw * 32))[:, None]
         offs = offsets.reshape(T, N) - frame_base
-        totals = jnp.sum(group_bits.reshape(T, G), axis=1)
-        return words, totals, offs, valid.reshape(T, N), bw
+        gbits = group_bits.reshape(T, G)
+        return PackedGop(
+            words, jnp.sum(gbits, axis=1), offs, valid.reshape(T, N), gbits, bw, cap
+        )
 
     def decode_gop(self, words, block_offsets, block_counts, mvs, H: int, W: int,
                    block_words: int | None = None, cap: int | None = None):
@@ -345,6 +381,117 @@ class FusedVideoCodec:
             self.qt, H, W, cap, block_words, self.sr, code.raw_bits,
         )
 
+    # ------------------------------------------------------------ container
+
+    def encode_to_container(self, frames_y) -> bytes:
+        """Encode a GOP into a self-contained IVC1 video payload.
+
+        Unlike the reference, whose decoder reads the motion vectors and
+        symbol counts from encoder state
+        (``ivclab/video/videocodec.py:57-86``), the returned bytes carry
+        everything: header, hot/escape codebooks (residual + MV), the
+        grouped residual streams with their parallel-decode sidecar, and
+        the Huffman-packed MV streams for frames 1..T-1.
+        """
+        from ivclab_tpu.runtime.container import (
+            GroupedSection, HotCodebook, VideoPayload,
+        )
+
+        frames_y = jnp.asarray(frames_y, dtype=jnp.float32)
+        T, H, W = frames_y.shape
+        qsyms, mvs, _, _ = self.encode_gop(frames_y)
+        p = self.pack_gop(qsyms)
+
+        # MV substream: frames 1..T-1, 64 symbols per block
+        mv_flat = mvs[1:].reshape(-1)
+        M = int(mv_flat.shape[0])
+        n_blocks = max(-(-M // 64), 1)
+        n_blocks = -(-n_blocks // PACK_GROUP) * PACK_GROUP
+        mvc = self.mv_code
+        mv_fused = jnp.asarray(mvc.fused_table())
+        codes, lens, mv_counts, bw_max, gw_max = _map_stream_hot(
+            mv_flat, jnp.asarray(mvc.hot_values), mv_fused[: mvc.K],
+            jnp.asarray(mvc.code.codes[mvc.K], dtype=jnp.uint32),
+            jnp.asarray(int(mvc.code.lengths[mvc.K]), dtype=jnp.int32),
+            n_blocks, mvc.raw_bits,
+        )
+        mv_bw = _bucket(int(bw_max) + 2, BW_BUCKETS)
+        mv_gw = _bucket(int(gw_max), GW_BUCKETS)
+        mv_words, mv_gbits, mv_offs = pack_grouped_sized(codes, lens, mv_gw, mv_bw)
+
+        T_, G, GW = p.words.shape
+        frame_base = np.arange(T_, dtype=np.int64)[:, None] * (G * GW * 32)
+        global_offs = np.asarray(p.offsets).astype(np.int64) + frame_base
+        residual = GroupedSection.from_device(
+            p.words, p.group_bits, global_offs, p.counts, PACK_GROUP, GW
+        )
+        mv_section = GroupedSection.from_device(
+            mv_words, mv_gbits, mv_offs, mv_counts, PACK_GROUP, mv_gw
+        )
+        totals = np.asarray(p.totals, dtype=np.uint64)
+        payload = VideoPayload(
+            quantization_scale=self.q,
+            eob=EOB,
+            search_range=self.sr,
+            shape=(T, H, W),
+            payload_bits=int(totals.sum()) + int(np.asarray(mv_gbits).sum()),
+            frame_bits=totals,
+            residual_codebook=HotCodebook.from_code(self.residual_code),
+            mv_codebook=HotCodebook.from_code(mvc),
+            residual=residual,
+            mv=mv_section,
+        )
+        return payload.to_bytes()
+
+    @classmethod
+    def decode_from_container(cls, blob: bytes):
+        """Reconstruct a GOP from bytes alone. Returns ([T, H, W] float32
+        Y reconstructions, ok)."""
+        from ivclab_tpu.runtime.container import VideoPayload
+
+        p = VideoPayload.from_bytes(blob)
+        T, H, W = p.shape
+        codec = cls(quantization_scale=p.quantization_scale, search_range=p.search_range)
+        codec.set_residual_code(p.residual_codebook.to_code())
+        mvc = p.mv_codebook.to_code()
+        codec.mv_code = mvc
+
+        # MV substream first
+        mv_words, mv_offs, mv_counts = p.mv.device_views()
+        n_mv_blocks = mv_counts.shape[0]
+        mv_lw = p.mv.words_per_group  # small sections: full-width register
+        mv_lw = min(mv_lw, _bucket(64 * mvc.mean_len_bound() // 32 + 2, BW_BUCKETS))
+        sym = _decode_stream_hot(
+            mv_words.reshape(-1, p.mv.words_per_group), mv_offs, mv_counts,
+            jnp.asarray(mvc.code.lj_next_minus1),
+            jnp.asarray(np.asarray(mvc.code.first_code, dtype=np.uint32)),
+            jnp.asarray(mvc.code.group_offset.astype(np.int32)),
+            jnp.asarray(mvc.alpha_of_rank),
+            jnp.int32(mvc.code.min_len), jnp.int32(mvc.esc_rank),
+            64, mv_lw, mvc.raw_bits,
+        )
+        hb, wb = H // 8, W // 8
+        M = (T - 1) * hb * wb
+        mv_p = jnp.reshape(sym.reshape(-1)[:M], (T - 1, hb, wb))
+        filler = jnp.full(
+            (1, hb, wb), (codec.sr * (2 * codec.sr + 1)) + codec.sr, jnp.int32
+        )
+        mvs = jnp.concatenate([filler, mv_p], axis=0)
+
+        # residual streams
+        words_flat, offs, counts = p.residual.device_views()
+        n_groups = p.residual.group_word_counts.size
+        G = n_groups // T
+        GW = p.residual.words_per_group
+        words = words_flat.reshape(T, G, GW)
+        frame_base = (jnp.arange(T, dtype=jnp.int32) * (G * GW * 32))[:, None]
+        offsets = offs.reshape(T, -1) - frame_base
+        counts = counts.reshape(T, -1)
+        cap = _bucket(int(p.residual.block_counts.max(initial=1)), CAP_BUCKETS)
+        bw = _bucket(p.max_block_words(), BW_BUCKETS)
+        recons, ok = codec.decode_gop(words, offsets, counts, mvs, H, W, bw, cap)
+        return recons, ok
+
     # ------------------------------------------------------------ one-call
 
     def encode_decode_gop(self, frames_y):
@@ -354,9 +501,10 @@ class FusedVideoCodec:
         """
         frames_y = jnp.asarray(frames_y, dtype=jnp.float32)
         qsyms, mvs, mv_bits, enc_recons = self.encode_gop(frames_y)
-        words, totals, offsets, counts, bw = self.pack_gop(qsyms)
-        bits = totals + mv_bits
+        p = self.pack_gop(qsyms)
+        bits = p.totals + mv_bits
         T, H, W = frames_y.shape
-        cap = self._buckets[0] if self._buckets else None
-        recons, ok = self.decode_gop(words, offsets, counts, mvs, H, W, bw, cap)
+        recons, ok = self.decode_gop(
+            p.words, p.offsets, p.counts, mvs, H, W, p.block_words, p.cap
+        )
         return recons, bits, ok, enc_recons

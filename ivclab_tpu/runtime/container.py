@@ -32,7 +32,7 @@ VERSION = 1
 
 KIND_INTRA = 0
 KIND_PLANE = 1
-KIND_VIDEO_FRAME = 2
+KIND_VIDEO_GOP = 2
 
 LAYOUT_CONTIGUOUS = 0
 LAYOUT_GROUPED = 1
@@ -166,6 +166,52 @@ class IntraPayload:
 
 
 @dataclass
+class HotCodebook:
+    """Transmissible form of a hot/escape code (see codebook.HotCode):
+    hot alphabet indices + canonical lengths (K hot + trailing ESCAPE)."""
+
+    lower_bound: int
+    alphabet_n: int
+    hot_values: np.ndarray  # [K] int32
+    lengths: np.ndarray  # [K+1] uint8
+
+    def to_bytes(self) -> bytes:
+        hv = self.hot_values.astype("<u4")
+        return (
+            struct.pack("<iIH", self.lower_bound, self.alphabet_n, hv.size)
+            + hv.tobytes()
+            + self.lengths.astype(np.uint8).tobytes()
+        )
+
+    @classmethod
+    def from_buffer(cls, buf: memoryview, off: int):
+        lower, an, k = struct.unpack_from("<iIH", buf, off)
+        off += struct.calcsize("<iIH")
+        hv = np.frombuffer(buf, dtype="<u4", count=k, offset=off).astype(np.int32)
+        off += 4 * k
+        lengths = np.frombuffer(buf, dtype=np.uint8, count=k + 1, offset=off).copy()
+        off += k + 1
+        return cls(lower, an, hv, lengths), off
+
+    @classmethod
+    def from_code(cls, code):
+        return cls(
+            lower_bound=code.lower_bound,
+            alphabet_n=code.alphabet_n,
+            hot_values=np.asarray(code.hot_values, dtype=np.int32),
+            lengths=np.asarray(code.code.lengths, dtype=np.uint8),
+        )
+
+    def to_code(self):
+        from ivclab_tpu.entropy.codebook import hot_code_from_parts
+
+        return hot_code_from_parts(
+            self.lower_bound, self.alphabet_n, self.hot_values,
+            self.lengths.astype(np.int32),
+        )
+
+
+@dataclass
 class GroupedSection:
     """One grouped bitstream: word-aligned per-group substreams + the
     per-block sidecar (u16 in-group bit offset, u8 symbol count) that makes
@@ -269,9 +315,10 @@ class VideoPayload:
     eob: int
     search_range: int
     shape: tuple  # (T, H, W)
-    payload_bits: int
-    residual_codebook: Codebook
-    mv_codebook: Codebook
+    payload_bits: int  # exact residual + MV code-length sum (the RD rate)
+    frame_bits: np.ndarray  # [T] u64, per-frame residual payload bits
+    residual_codebook: HotCodebook
+    mv_codebook: HotCodebook
     residual: GroupedSection
     mv: GroupedSection
 
@@ -285,6 +332,7 @@ class VideoPayload:
         ) + struct.pack("<B", self.search_range)
         return b"".join([
             head,
+            np.asarray(self.frame_bits, dtype="<u8").tobytes(),
             self.residual_codebook.to_bytes(),
             self.mv_codebook.to_bytes(),
             self.residual.to_bytes(),
@@ -306,15 +354,27 @@ class VideoPayload:
         off = struct.calcsize("<4sHBBfiIIIQ")
         (sr,) = struct.unpack_from("<B", buf, off)
         off += 1
-        res_cb, off = Codebook.from_buffer(buf, off)
-        mv_cb, off = Codebook.from_buffer(buf, off)
+        frame_bits = np.frombuffer(buf, dtype="<u8", count=T, offset=off).copy()
+        off += 8 * T
+        res_cb, off = HotCodebook.from_buffer(buf, off)
+        mv_cb, off = HotCodebook.from_buffer(buf, off)
         residual, off = GroupedSection.from_buffer(buf, off)
         mv, off = GroupedSection.from_buffer(buf, off)
-        return cls(q, eob, sr, (T, H, W), pbits, res_cb, mv_cb, residual, mv)
+        return cls(q, eob, sr, (T, H, W), pbits, frame_bits, res_cb, mv_cb, residual, mv)
 
     @property
     def container_bytes(self) -> int:
         return len(self.to_bytes())
+
+    def max_block_words(self) -> int:
+        """Decoder shift-register bound from the sidecar (host, cheap)."""
+        s = self.residual
+        gs, wpg = s.group_size, s.words_per_group
+        offs = s.block_offsets.astype(np.int64).reshape(-1, gs)
+        ends = np.concatenate(
+            [offs[:, 1:], (s.group_word_counts.astype(np.int64) * 32)[:, None]], axis=1
+        )
+        return int(((ends - offs).max() + 31) // 32) + 2
 
 
 def grouped_payload_from_device(

@@ -143,12 +143,12 @@ def video(name: str = "foreman", num_frames: int = 21, shape=(288, 352)) -> np.n
         ox = margin + int(round(2.2 * t))
         frame = bg[oy : oy + H, ox : ox + W].copy()
 
-        ay = int(round(H * 0.3 + 3.0 * t))
-        ax = int(round(W * 0.2 + 1.5 * t))
+        ay = min(max(int(round(H * 0.3 + 3.0 * t)), 0), H - 48)
+        ax = min(max(int(round(W * 0.2 + 1.5 * t)), 0), W - 48)
         frame[ay : ay + 48, ax : ax + 48] = obj_a
 
-        by = int(round(H * 0.6 - 1.0 * t))
-        bx = int(round(W * 0.7 - 2.5 * t))
+        by = min(max(int(round(H * 0.6 - 1.0 * t)), 0), H - 32)
+        bx = min(max(int(round(W * 0.7 - 2.5 * t)), 0), W - 64)
         frame[by : by + 32, bx : bx + 64] = obj_b
 
         frame += 1.5 * rng.standard_normal(frame.shape)

@@ -34,11 +34,15 @@ def test_cli_encode_decode_info(tmp_path, capsys):
     assert png.exists()
 
 
-def test_cli_encode_video(capsys):
-    out = run_cli(capsys, "encode-video", "fixture:foreman", "--frames", "3", "--q", "2.0")
+def test_cli_encode_video(capsys, tmp_path):
+    out_file = str(tmp_path / "seq.ivc")
+    out = run_cli(capsys, "encode-video", "fixture:foreman", out_file,
+                  "--frames", "3", "--q", "2.0")
     assert out["frames"] == 3
-    assert out["mean_psnr_db"] > 24
+    assert out["mean_psnr_y_db"] > 24
     assert len(out["per_frame_bits"]) == 3
+    import os
+    assert os.path.getsize(out_file) > 0
 
 
 def test_cli_rd_sweep_dpcm(capsys):
