@@ -393,14 +393,25 @@ class FusedVideoCodec:
         grouped residual streams with their parallel-decode sidecar, and
         the Huffman-packed MV streams for frames 1..T-1.
         """
-        from ivclab_tpu.runtime.container import (
-            GroupedSection, HotCodebook, VideoPayload,
-        )
-
         frames_y = jnp.asarray(frames_y, dtype=jnp.float32)
         T, H, W = frames_y.shape
         qsyms, mvs, _, _ = self.encode_gop(frames_y)
         p = self.pack_gop(qsyms)
+        return self.container_from_packed(p, mvs, (T, H, W))
+
+    def container_from_packed(self, p: PackedGop, mvs, shape) -> bytes:
+        """Serialize an already-packed GOP (+ motion fields) to IVC1 bytes.
+
+        Shared by the single-chip ``encode_to_container`` path and the
+        multi-device assembly (``ivclab_tpu.parallel.video``): the sharded
+        encoder's gathered group substreams feed in as a :class:`PackedGop`
+        and serialize identically to the single-device pack.
+        """
+        from ivclab_tpu.runtime.container import (
+            GroupedSection, HotCodebook, VideoPayload,
+        )
+
+        T, H, W = shape
 
         # MV substream: frames 1..T-1, 64 symbols per block
         mv_flat = mvs[1:].reshape(-1)

@@ -109,21 +109,39 @@ class MotionCompensator:
         return np.asarray(motion_compensate(ref_image, mv, self.search_range))
 
 
+def pallas_vmem_fits(H: int, W: int, search_range: int, budget: int = 12 * 1024 * 1024) -> bool:
+    """True when the Pallas ME kernel's per-panel working set fits VMEM.
+
+    The kernel holds the (2sr+1)-way column-shift stack of the padded
+    reference plus the current panel in VMEM (see
+    ``ivclab_tpu/ops/motion_pallas.py``). The estimate lane-pads the panel
+    to the (8, 128) tiling and doubles for the pipeline's input
+    double-buffering. Widths that no 128-multiple panel divides are
+    rejected outright: the full-width fallback panel lane-pads every
+    per-candidate temporary of the unrolled search, which Mosaic
+    stack-allocates past the 16 MiB scoped-vmem limit (observed: 17.6 MiB
+    at 256x352, sr=4, despite a ~4 MiB naive estimate).
+    """
+    from ivclab_tpu.ops.motion_pallas import _pick_panel_w
+
+    if W % 128:
+        return False
+    panel_w = _pick_panel_w(H, W, search_range, budget)
+    hp = -(-(H + 2 * search_range) // 8) * 8
+    total = 2 * search_range + 1
+    return (total * hp + H) * panel_w * 8 < budget
+
+
 def motion_search_auto(ref_image, image, search_range: int = 4, block: int = 8):
     """Backend dispatcher: Pallas kernel on TPU (when the padded reference
     fits VMEM), XLA candidate scan elsewhere. Results are bit-identical."""
     import jax
 
     H, W = image.shape[-2], image.shape[-1]
-    if jax.default_backend() == "tpu":
-        from ivclab_tpu.ops.motion_pallas import _pick_panel_w, motion_search_pallas
+    if jax.default_backend() == "tpu" and pallas_vmem_fits(H, W, search_range):
+        from ivclab_tpu.ops.motion_pallas import motion_search_pallas
 
-        panel_w = _pick_panel_w(H, W, search_range)
-        hp = -(-(H + 2 * search_range) // 8) * 8
-        total = 2 * search_range + 1
-        vmem_need = (total * hp + H) * panel_w * 4
-        if vmem_need < 12 * 1024 * 1024:
-            return motion_search_pallas(ref_image, image, search_range, block)
+        return motion_search_pallas(ref_image, image, search_range, block)
     return motion_search(ref_image, image, search_range, block)
 
 

@@ -76,6 +76,37 @@ def motion_search_tile(ref_ext, cur_tile, tile_row0, total_h, search_range: int 
     return best
 
 
+def motion_compensate_tile_dense(ref_ext, motion_idx, search_range: int = 4, block: int = 8):
+    """Select-based tile MC from the halo-extended reference band.
+
+    The tile analog of :func:`ivclab_tpu.ops.motion.motion_compensate_dense`:
+    accumulate the (2sr+1)^2 shifted views of the extended band under the
+    per-block motion masks — dense passes instead of per-pixel gathers (TPU
+    gathers are latency-bound). Bit-identical to the gather form for the
+    in-bounds motion fields the encoder emits.
+    """
+    sr = search_range
+    Hext, W = ref_ext.shape
+    Ht = Hext - 2 * sr
+    total = 2 * sr + 1
+    mv = jnp.asarray(motion_idx, dtype=jnp.int32)
+    mv_pix = jnp.repeat(jnp.repeat(mv, block, axis=0), block, axis=1)
+
+    # rows already carry the +/-sr halo; pad columns only
+    ref_pad = jnp.pad(ref_ext, ((0, 0), (sr, sr)))
+    dys, dxs = np.meshgrid(np.arange(-sr, sr + 1), np.arange(-sr, sr + 1), indexing="ij")
+    candidates = jnp.asarray(np.stack([dys.ravel(), dxs.ravel()], axis=1), dtype=jnp.int32)
+
+    def body(acc, cand):
+        dy, dx = cand[0], cand[1]
+        idx = (dy + sr) * total + (dx + sr)
+        shifted = jax.lax.dynamic_slice(ref_pad, (sr + dy, sr + dx), (Ht, W))
+        return acc + jnp.where(mv_pix == idx, shifted, 0.0), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((Ht, W), jnp.float32), candidates)
+    return acc
+
+
 def motion_compensate_tile(ref_ext, motion_idx, search_range: int = 4, block: int = 8):
     """Tile-local MC gather from the halo-extended reference band."""
     sr = search_range

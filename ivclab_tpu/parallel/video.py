@@ -18,6 +18,7 @@ dry-runs on an 8-device virtual mesh and the scaling benchmark times.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -150,3 +151,217 @@ def build_sharded_video_encoder(
 def shard_frames(frames_y, mesh):
     """Place a ``[T, H, W]`` stack with T over gop and H over tile."""
     return jax.device_put(frames_y, NamedSharding(mesh, P("gop", "tile", None)))
+
+
+# --------------------------------------------------------------------------
+# Full sharded codec: distributed entropy coding + bitstream assembly
+# (SURVEY.md §7.6). Unlike ``build_sharded_video_encoder`` (a rate
+# calculator), this path PACKS real bitstreams on every shard.
+
+
+class ShardedGopStreams(NamedTuple):
+    """Gathered outputs of one sharded encode+pack step.
+
+    Global layouts match the single-device fused codec exactly: frames are
+    gop-major on the T axis; within a frame, blocks/groups are band-major,
+    which — row bands being contiguous row ranges — IS raster order, so the
+    assembled stream is bit-identical to ``FusedVideoCodec.pack_gop`` on
+    the same frames (asserted by ``__graft_entry__.dryrun_multichip`` and
+    ``tests/test_parallel.py``).
+    """
+
+    words: jnp.ndarray       # [T, G, GW] u32 word-aligned group substreams
+    offsets: jnp.ndarray     # [T, N] frame-relative block bit offsets
+    counts: jnp.ndarray      # [T, N] per-block symbol counts
+    group_bits: jnp.ndarray  # [T, G] exact per-group payload bits
+    totals: jnp.ndarray      # [T] per-frame residual bits (psum over tiles)
+    mvs: jnp.ndarray         # [T, H/8, W/8] packed motion indices
+    recons: jnp.ndarray      # [T, H, W] closed-loop reconstructions
+
+
+def build_sharded_video_codec(
+    mesh,
+    codec,
+    gop_len: int,
+    band_h: int,
+    width: int,
+    cap: int,
+    group_words: int,
+    block_words: int,
+):
+    """Compile a GOP+tile-sharded encode **and entropy-pack** step.
+
+    The TPU-native distributed form of the reference's serial encode
+    (``ivclab/video/videocodec.py:37-86``) including the entropy stage the
+    rate-only ``build_sharded_video_encoder`` omits:
+
+    - each (gop, tile) shard runs the I/P recursion on its row band with
+      ``ppermute`` halo motion search (ICI ring traffic only);
+    - each shard zero-run + hot/escape Huffman-packs its own blocks into
+      word-aligned group substreams (``pack_grouped_sized``) — entropy
+      coding is fully distributed, no host round trip;
+    - per-frame bit totals are ``psum``-reduced over the tile axis;
+    - the ``out_specs`` gather IS the distributed assembly: group
+      substreams concatenate band-major per frame (= raster block order),
+      and each shard rebases its block bit offsets by its tile's group
+      prefix (``tile_idx * Gb * GW * 32``) so the gathered offsets index
+      the global frame stream directly. Host 0 then only compacts
+      (``assemble_video_payloads``): per-group word counts -> prefix
+      layout -> concat, the §7.6 all-gather/prefix-sum/concat step.
+
+    ``codec`` is a trained :class:`~ivclab_tpu.models.fastvideo.FusedVideoCodec`
+    whose codebooks/tables are baked into the compiled program;
+    ``cap``/``group_words``/``block_words`` are the static size buckets and
+    must match the fused codec's for bit-identical streams
+    (``codec._buckets`` after a ``pack_gop`` call).
+
+    Returns ``step(frames_y) -> ShardedGopStreams`` over
+    ``[n_gop * gop_len, band_h * n_tile, width]`` float32 stacks.
+    """
+    from ivclab_tpu.models.fastvideo import EOB
+    from ivclab_tpu.ops.transform import PACK_GROUP, map_codes_hot, pack_grouped_sized
+    from ivclab_tpu.ops.zerorun import zerorun_encode_blocks_dense
+    from ivclab_tpu.parallel.halo import motion_compensate_tile_dense
+
+    n_tile = mesh.shape["tile"]
+    n_gop = mesh.shape["gop"]
+    H = band_h * n_tile
+    W = width
+    sr = codec.sr
+    Nb = (band_h // 8) * (W // 8)  # blocks per band per frame
+    if Nb % PACK_GROUP:
+        raise ValueError(
+            f"band blocks ({Nb}) must be a multiple of PACK_GROUP ({PACK_GROUP})"
+        )
+    Gb = Nb // PACK_GROUP
+    GW = group_words
+
+    code = codec.residual_code
+    qt, inv_qt = codec.qt, codec.inv_qt
+    hot_vals, hot_fused = codec._hot_vals, codec._hot_fused
+    esc_code, esc_len = codec._esc_code, codec._esc_len
+    lower = jnp.int32(code.lower_bound)
+    raw_bits = code.raw_bits
+
+    def symbolize(plane):
+        x = plane.reshape(band_h // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 64)
+        coeffs = dct2_fused(x)
+        qsym = jnp.round(coeffs * inv_qt[None, :]).astype(jnp.int32)
+        deq = (qsym.astype(jnp.float32) * qt[None, :]).astype(jnp.int32)
+        pix = idct2_fused(deq.astype(jnp.float32))
+        recon = pix.reshape(band_h // 8, W // 8, 8, 8).transpose(0, 2, 1, 3).reshape(band_h, W)
+        return qsym, recon
+
+    def shard_fn(frames_local):
+        """frames_local: [gop_len, band_h, W] — one GOP's row band."""
+        tile_idx = jax.lax.axis_index("tile").astype(jnp.int32)
+        row0 = tile_idx * band_h
+
+        def frame_step(recon_prev, inputs):
+            t, y = inputs
+
+            def intra():
+                qsym, recon = symbolize(y)
+                mv = jnp.full(
+                    (band_h // 8, W // 8), (sr * (2 * sr + 1)) + sr, jnp.int32
+                )
+                return qsym, mv, recon
+
+            def inter():
+                ref_ext = exchange_row_halo(recon_prev, sr, "tile")
+                mv = motion_search_tile(ref_ext, y, row0, H, sr)
+                pred = motion_compensate_tile_dense(ref_ext, mv, sr)
+                qsym, rrec = symbolize(y - pred)
+                return qsym, mv, pred + rrec
+
+            qsym, mv, recon = jax.lax.cond(t == 0, intra, inter)
+            return recon, (qsym, mv, recon)
+
+        ts = jnp.arange(gop_len, dtype=jnp.int32)
+        _, (qsyms, mvs, recons) = jax.lax.scan(
+            frame_step, jnp.zeros((band_h, W), jnp.float32), (ts, frames_local)
+        )
+
+        # distributed entropy coding: this shard packs its own blocks
+        flat = qsyms.reshape(gop_len * Nb, 64)
+        buf, valid = zerorun_encode_blocks_dense(flat, 64, EOB, cap)
+        codes, lens = map_codes_hot(
+            buf - lower, valid, hot_vals, hot_fused, esc_code, esc_len, raw_bits
+        )
+        words, gbits, offs = pack_grouped_sized(codes, lens, GW, block_words)
+
+        # rebase block offsets: shard-local group index (t*Gb + g) ->
+        # frame-relative global group index (tile_idx*Gb + g)
+        offs = offs.reshape(gop_len, Nb)
+        local_frame_base = (jnp.arange(gop_len, dtype=jnp.int32) * (Gb * GW * 32))[:, None]
+        offs = offs - local_frame_base + tile_idx * (Gb * GW * 32)
+
+        words = words.reshape(gop_len, Gb, GW)
+        gbits = gbits.reshape(gop_len, Gb)
+        totals = jax.lax.psum(jnp.sum(gbits, axis=1), "tile")
+        return words, offs, valid.reshape(gop_len, Nb), gbits, totals, mvs, recons
+
+    from jax import shard_map
+
+    sharded = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=P("gop", "tile", None),
+        out_specs=(
+            P("gop", "tile", None),   # words: groups band-major per frame
+            P("gop", "tile"),         # offsets
+            P("gop", "tile"),         # counts
+            P("gop", "tile"),         # group_bits
+            P("gop"),                 # totals (tile-replicated after psum)
+            P("gop", "tile", None),   # mvs
+            P("gop", "tile", None),   # recons
+        ),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(frames_y):
+        T, Hf, Wf = frames_y.shape
+        assert Hf == H and Wf == W and T == n_gop * gop_len
+        return ShardedGopStreams(*sharded(frames_y))
+
+    return step
+
+
+def assemble_video_payloads(codec, streams: ShardedGopStreams, gop_len: int) -> list:
+    """Host-0 bitstream assembly: gathered shard streams -> IVC1 payloads.
+
+    The distributed-assembly step of SURVEY.md §7.6: per-group payload bit
+    counts (all-gathered by the step's out_specs) become word counts, a
+    prefix layout over them compacts the word-aligned substreams, and the
+    result serializes through the same :class:`VideoPayload` writer as the
+    single-device encoder — one self-contained ``bytes`` per GOP, decodable
+    anywhere via ``FusedVideoCodec.decode_from_container``.
+    """
+    from ivclab_tpu.models.fastvideo import PackedGop
+
+    words, offsets, counts, group_bits, totals, mvs = jax.device_get(
+        (streams.words, streams.offsets, streams.counts,
+         streams.group_bits, streams.totals, streams.mvs)
+    )
+    T = words.shape[0]
+    H = streams.recons.shape[1]
+    W = streams.recons.shape[2]
+    n_gops = T // gop_len
+    bw = None  # recovered by the decoder from the sidecar
+    payloads = []
+    for g in range(n_gops):
+        sl = slice(g * gop_len, (g + 1) * gop_len)
+        p = PackedGop(
+            words=jnp.asarray(words[sl]),
+            totals=jnp.asarray(totals[sl]),
+            offsets=jnp.asarray(offsets[sl]),
+            counts=jnp.asarray(counts[sl]),
+            group_bits=jnp.asarray(group_bits[sl]),
+            block_words=bw,
+            cap=int(counts[sl].max(initial=1)),
+        )
+        payloads.append(
+            codec.container_from_packed(p, jnp.asarray(mvs[sl]), (gop_len, H, W))
+        )
+    return payloads

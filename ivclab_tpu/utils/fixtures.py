@@ -138,9 +138,10 @@ def video(name: str = "foreman", num_frames: int = 21, shape=(288, 352)) -> np.n
 
     frames = np.empty((num_frames, H, W, 3), dtype=np.uint8)
     for t in range(num_frames):
-        # Smooth global pan within +/- 3 px/frame
-        oy = margin + int(round(10 * np.sin(t / 6.0)))
-        ox = margin + int(round(2.2 * t))
+        # Smooth global pan within +/- 3 px/frame; clamped so long
+        # sequences never run off the oversized background
+        oy = min(max(margin + int(round(10 * np.sin(t / 6.0))), 0), 2 * margin)
+        ox = min(max(margin + int(round(2.2 * t)), 0), 2 * margin)
         frame = bg[oy : oy + H, ox : ox + W].copy()
 
         ay = min(max(int(round(H * 0.3 + 3.0 * t)), 0), H - 48)

@@ -89,6 +89,57 @@ def test_sharded_encoder_monotone_bits(foreman):
     assert float(calc_psnr(y[1], np.asarray(recons[1]))) > 28.0
 
 
+def test_sharded_codec_bitstream_matches_fused(foreman):
+    """Distributed entropy coding (SURVEY §7.6): the (gop x tile)-sharded
+    encode+pack must be bit-identical to the single-device fused pack on
+    the same frames, and the assembled container must decode from bytes
+    alone to the encoder reconstruction."""
+    from ivclab_tpu.parallel import (
+        assemble_video_payloads,
+        build_sharded_video_codec,
+    )
+
+    gop_len, n_tile = 2, 4
+    mesh = make_mesh(n_gop=2, n_tile=n_tile)
+    # crop so each band's block count is a multiple of PACK_GROUP
+    y = foreman[:4, :256, :352].astype(np.float32).mean(axis=-1)
+    T, H, W = y.shape
+    band_h = H // n_tile
+    codec = FusedVideoCodec(quantization_scale=1.0).train(y[:2])
+
+    # single-device reference per GOP (also establishes the pack buckets)
+    refs = []
+    for g in range(2):
+        qs, mvs, _, recons = codec.encode_gop(jnp.asarray(y[g * 2:(g + 1) * 2]))
+        refs.append((codec.pack_gop(qs), mvs, recons))
+    cap, bw, gw = codec._buckets
+
+    step = build_sharded_video_codec(
+        mesh, codec, gop_len, band_h, W, cap=cap, group_words=gw, block_words=bw
+    )
+    out = step(shard_frames(y, mesh))
+
+    for g, (p, mvs, recons) in enumerate(refs):
+        sl = slice(g * gop_len, (g + 1) * gop_len)
+        assert np.array_equal(np.asarray(out.mvs[sl]), np.asarray(mvs))
+        assert np.array_equal(np.asarray(out.recons[sl]), np.asarray(recons))
+        assert np.array_equal(np.asarray(out.counts[sl]), np.asarray(p.counts))
+        assert np.array_equal(np.asarray(out.offsets[sl]), np.asarray(p.offsets))
+        assert np.array_equal(np.asarray(out.group_bits[sl]), np.asarray(p.group_bits))
+        assert np.array_equal(np.asarray(out.totals[sl]), np.asarray(p.totals))
+        # the headline claim: the gathered multi-device stream is the
+        # single-device stream, word for word
+        assert np.array_equal(np.asarray(out.words[sl]), np.asarray(p.words))
+
+    # host-0 assembly -> self-contained bytes -> fresh decode
+    payloads = assemble_video_payloads(codec, out, gop_len)
+    for g, blob in enumerate(payloads):
+        recons, ok = FusedVideoCodec.decode_from_container(blob)
+        assert bool(ok)
+        sl = slice(g * gop_len, (g + 1) * gop_len)
+        assert np.abs(np.asarray(recons) - np.asarray(out.recons[sl])).max() < 1e-2
+
+
 def test_fused_video_codec_roundtrip(foreman):
     y = foreman[:4].astype(np.float32).mean(axis=-1)
     codec = FusedVideoCodec(quantization_scale=1.0).train(y[:2])
