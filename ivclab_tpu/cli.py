@@ -123,54 +123,90 @@ def read_video_stream(path):
     return blobs
 
 
+def _make_timer(args):
+    from ivclab_tpu.runtime.trace import StageTimer
+
+    return StageTimer(enabled=bool(getattr(args, "trace", False)), annotate=False)
+
+
+def _trace_report(timer, pixels: int) -> dict | None:
+    """Per-stage ms + Mpix/s (SURVEY.md §5 'Metrics' emitters)."""
+    if not timer.enabled or not timer.totals:
+        return None
+    rep = timer.report()
+    for name, row in rep.items():
+        if row["total_s"] > 0:
+            row["mpix_per_s"] = round(pixels / row["total_s"] / 1e6, 2)
+    return rep
+
+
 def cmd_encode_video(args):
     """Encode to a real .ivc bitstream file (fused GOP codec, Y plane —
     the reference's video codec is also luma-only,
     ivclab/video/videocodec.py:77-80) and report RD stats."""
+    import jax
+
     from ivclab_tpu.models.fastvideo import FusedVideoCodec
     from ivclab_tpu.ops.color import rgb2ycbcr
     from ivclab_tpu.utils import calc_psnr
 
+    timer = _make_timer(args)
     frames = _load_video(args.input, args.frames)
     y = np.asarray(rgb2ycbcr(frames.astype(np.float32)))[..., 0]
     gop = args.gop or frames.shape[0]
     # pad the frame count to whole GOPs (each opens with an I-frame)
     codec = FusedVideoCodec(quantization_scale=args.q, search_range=args.search_range)
-    codec.train(y[: min(2, y.shape[0])])
+    with timer.stage("train"):
+        codec.train(y[: min(2, y.shape[0])])
     blobs, recons, bits = [], [], []
     for start in range(0, y.shape[0], gop):
         chunk = y[start : start + gop]
-        blobs.append(codec.encode_to_container(chunk))
-        r, b, ok, _ = codec.encode_decode_gop(chunk)
+        with timer.stage("encode"):
+            qsyms, mvs, mv_bits, _ = codec.encode_gop(chunk)
+            jax.block_until_ready(qsyms)
+        with timer.stage("pack"):
+            p = codec.pack_gop(qsyms)
+            jax.block_until_ready(p.words)
+        with timer.stage("serialize"):
+            blobs.append(codec.container_from_packed(p, mvs, chunk.shape))
+        with timer.stage("decode-check"):
+            r, ok = codec.decode_gop(
+                p.words, p.offsets, p.counts, mvs,
+                chunk.shape[1], chunk.shape[2], p.block_words, p.cap,
+            )
+            jax.block_until_ready(r)
         assert bool(ok), "entropy decode self-check failed"
         recons.append(np.asarray(r))
-        bits.extend(int(x) for x in np.asarray(b))
+        bits.extend(int(x) for x in np.asarray(p.totals + mv_bits))
     write_video_stream(args.output, blobs)
     recon_y = np.concatenate(recons)
     psnrs = [float(calc_psnr(y[t], recon_y[t])) for t in range(y.shape[0])]
-    print(
-        json.dumps(
-            {
-                "output": args.output,
-                "container_bytes": sum(len(b) for b in blobs),
-                "frames": int(y.shape[0]),
-                "gops": len(blobs),
-                "mean_psnr_y_db": round(float(np.mean(psnrs)), 3),
-                "mean_bpp": round(float(np.mean(bits)) / (y.shape[1] * y.shape[2]), 4),
-                "per_frame_bits": bits,
-            }
-        )
-    )
+    out = {
+        "output": args.output,
+        "container_bytes": sum(len(b) for b in blobs),
+        "frames": int(y.shape[0]),
+        "gops": len(blobs),
+        "mean_psnr_y_db": round(float(np.mean(psnrs)), 3),
+        "mean_bpp": round(float(np.mean(bits)) / (y.shape[1] * y.shape[2]), 4),
+        "per_frame_bits": bits,
+    }
+    trace = _trace_report(timer, int(y.size))
+    if trace:
+        out["trace"] = trace
+    print(json.dumps(out))
 
 
 def cmd_decode_video(args):
     """Reconstruct Y frames from a .ivc stream file alone."""
     from ivclab_tpu.models.fastvideo import FusedVideoCodec
 
+    timer = _make_timer(args)
     blobs = read_video_stream(args.input)
     frames = []
     for blob in blobs:
-        recons, ok = FusedVideoCodec.decode_from_container(blob)
+        with timer.stage("decode"):
+            recons, ok = FusedVideoCodec.decode_from_container(blob)
+            recons.block_until_ready()
         if not bool(ok):
             raise SystemExit("corrupt GOP payload: entropy decode failed")
         frames.append(np.asarray(recons))
@@ -184,7 +220,11 @@ def cmd_decode_video(args):
         outp.mkdir(parents=True, exist_ok=True)
         for t in range(out.shape[0]):
             imwrite(str(outp / f"frame{t:04d}.png"), out[t])
-    print(json.dumps({"frames": int(out.shape[0]), "shape": list(out.shape[1:])}))
+    rep = {"frames": int(out.shape[0]), "shape": list(out.shape[1:])}
+    trace = _trace_report(timer, int(out.size))
+    if trace:
+        rep["trace"] = trace
+    print(json.dumps(rep))
 
 
 def cmd_rd_sweep(args):
@@ -282,6 +322,11 @@ def cmd_info(args):
 
 def build_parser():
     ap = argparse.ArgumentParser(prog="ivclab_tpu", description=__doc__)
+    ap.add_argument(
+        "--trace", action="store_true",
+        help="emit per-stage timings + Mpix/s in the JSON report "
+             "(StageTimer; place before the subcommand)",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("encode-image")

@@ -2,13 +2,13 @@
 
 The reference configures everything through constructor kwargs and
 hard-coded sweep lists in exercise scripts (SURVEY.md §5 'Config / flag
-system'). Here the same knobs are dataclasses that the CLI maps onto
-argparse flags.
+system'). Here the same knobs are dataclasses; the CLI consumes them
+directly (e.g. ``SweepConfig`` drives ``rd-sweep``).
 """
 
 from __future__ import annotations
 
-from dataclasses import MISSING, dataclass, field, fields
+from dataclasses import dataclass, field
 
 
 @dataclass
@@ -52,40 +52,3 @@ class Config:
     video: VideoConfig = field(default_factory=VideoConfig)
     sweep: SweepConfig = field(default_factory=SweepConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
-
-
-_SCALAR_TYPES = {"float": float, "int": int, "str": str, float: float, int: int, str: str}
-
-
-def add_dataclass_args(parser, dc_cls, prefix: str = ""):
-    """Expose a dataclass's scalar fields as ``--prefix-name`` flags.
-
-    Returns the parser. Only scalar (float/int/str) fields are exposed;
-    compound fields (tuples, nested dataclasses) are skipped.
-    """
-    for f in fields(dc_cls):
-        default = f.default if f.default is not MISSING else (
-            f.default_factory() if f.default_factory is not MISSING else None
-        )
-        typ = _SCALAR_TYPES.get(f.type)
-        if typ is None and isinstance(default, (float, int, str)) and not isinstance(default, bool):
-            typ = type(default)
-        if typ is None:
-            continue
-        parser.add_argument(
-            f"--{prefix}{f.name.replace('_', '-')}",
-            dest=f"{prefix.replace('-', '_')}{f.name}",
-            type=typ,
-            default=default,
-        )
-    return parser
-
-
-def dataclass_from_args(dc_cls, args, prefix: str = ""):
-    """Build a dataclass instance from parsed argparse flags."""
-    kwargs = {}
-    for f in fields(dc_cls):
-        key = f"{prefix.replace('-', '_')}{f.name}"
-        if hasattr(args, key) and getattr(args, key) is not None:
-            kwargs[f.name] = getattr(args, key)
-    return dc_cls(**kwargs)

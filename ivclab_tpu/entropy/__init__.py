@@ -17,6 +17,7 @@ from ivclab_tpu.entropy.codebook import (
     limit_code_lengths,
 )
 from ivclab_tpu.entropy.huffman import HuffmanCoder
+from ivclab_tpu.entropy.plots import plot_histogram, plot_image_and_joint_histogram
 from ivclab_tpu.ops.zerorun import ZeroRunCoder
 
 __all__ = [
@@ -26,4 +27,5 @@ __all__ = [
     "CanonicalCode", "build_canonical_code", "canonical_from_lengths",
     "huffman_code_lengths", "limit_code_lengths",
     "HuffmanCoder", "ZeroRunCoder",
+    "plot_histogram", "plot_image_and_joint_histogram",
 ]

@@ -27,15 +27,71 @@ Frame recursion runs against the *decoder* reconstruction
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ivclab_tpu.entropy.huffman import HuffmanCoder
-from ivclab_tpu.models.intracodec import IntraCodec, IntraCodecAdaptive
+from ivclab_tpu.models.intracodec import IntraCodec, IntraCodecAdaptive, _sym_min_max, bucket_bounds
 from ivclab_tpu.ops.color import rgb2ycbcr, ycbcr2rgb
 from ivclab_tpu.ops.motion import motion_compensate, motion_search
 
 CODEBOOK_POLICIES = ("per-frame", "adaptive", "first-p-frame")
+
+
+# Full-range histogram window for the pipelined path: covers any bucketed
+# bounds the per-frame codebooks can pick (EOB=4000 included). The
+# per-frame bucketed histogram is a slice of this one, so it can be
+# computed INSIDE the device step — no data-dependent-bounds dispatch after
+# the fact, which is what lets the tree builds overlap the device pipeline.
+_HIST_LO, _HIST_HI = -4096, 4160
+
+
+@partial(jax.jit, static_argnames=("sr", "eob"))
+def _pframe_device_step(y, recon_prev, t, inv_qt, qt, sr: int, eob: int):
+    """One frame's device work for the pipelined adaptive path.
+
+    Everything the codebook does NOT gate: motion search + compensation
+    against the previous reconstruction, residual transform/quantize/
+    symbolize, the closed-loop reconstruction (the entropy stage is
+    lossless, so the recon chain never waits on it), and the full-range
+    symbol histogram + min/max the host needs to build this frame's
+    codebook.
+    """
+    from ivclab_tpu.entropy.stats import histogram_int32
+    from ivclab_tpu.ops.transform import forward_symbolize, inverse_reconstruct
+
+    H, W = y.shape
+
+    def intra():
+        return jnp.zeros_like(y), jnp.zeros((H // 8, W // 8), jnp.int32)
+
+    def inter():
+        mv = motion_search(recon_prev, y, sr)
+        pred = motion_compensate(recon_prev, mv, sr)
+        return pred, mv
+
+    pred, mv = jax.lax.cond(t == 0, intra, inter)
+    residual = y - pred
+    buf, valid, qsym = forward_symbolize(residual[:, :, None], inv_qt, eob)
+    recon_residual = inverse_reconstruct(qsym, qt, (H, W, 1))[:, :, 0]
+    recon = pred + recon_residual
+    mn, mx = _sym_min_max(buf, valid)
+    pos = jnp.arange(buf.shape[1], dtype=jnp.int32)
+    mask = pos[None, :] < valid[:, None]
+    hist = histogram_int32(buf, _HIST_LO, _HIST_HI, mask=mask)
+    return buf, valid, mn, mx, hist, mv, recon
+
+
+@jax.jit
+def _masked_code_bits(buf, valid, enc_lens, lower):
+    """Exact coded bits of the valid symbols under a trained code."""
+    pos = jnp.arange(buf.shape[1], dtype=jnp.int32)
+    mask = pos[None, :] < valid[:, None]
+    idx = jnp.clip(buf - lower, 0, enc_lens.shape[0] - 1)
+    return jnp.sum(jnp.where(mask, enc_lens[idx], 0))
 
 
 class VideoCodec:
@@ -184,6 +240,112 @@ class VideoCodec:
                 g, b"", np.stack(gop_recons), np.asarray(gop_bits, dtype=np.int64)
             )
         return recons, bits
+
+    def encode_decode_sequence_pipelined(self, frames, gop_size: int | None = None):
+        """Per-frame-adaptive sequence coding with tree-build/transform
+        overlap (SURVEY.md §7 'Hard parts': per-frame Huffman retraining
+        forces a histogram -> host-tree-build -> rate round trip per frame;
+        pipeline it).
+
+        Bit-for-bit the same rates and reconstructions as the serial
+        ``encode_decode_sequence`` for the ``per-frame`` and ``adaptive``
+        policies (asserted by tests/test_ch4_video.py), restructured so the
+        device never waits on the host:
+
+        1. ALL per-frame device steps (motion search/compensation, residual
+           transform, closed-loop reconstruction) are dispatched up front —
+           the recon recursion is closed-loop through the *quantized*
+           residual, so it never depends on the entropy stage (lossless).
+        2. The host then walks the frames building each one's codebook
+           (bucketed bounds -> device histogram -> canonical tree) and
+           dispatching the exact-rate reduction, while the device pipeline
+           runs ahead asynchronously.
+        3. The serial path's per-frame host Huffman decode
+           (``IntraCodecAdaptive.intra_decode``) is dropped entirely: the
+           entropy stage is bit-lossless (property-tested), so the decoded
+           symbols equal the quantized coefficients already on device.
+
+        Returns ``(recons_rgb uint8 [T, H, W, 3], bits [T])``. Frames must
+        be multiples of 8 in both dimensions (every reference workload is).
+        """
+        if self.codebook_policy not in ("per-frame", "adaptive"):
+            raise ValueError(
+                "pipelined sequence coding retrains per frame; use policy "
+                "'per-frame' or 'adaptive' (first-p-frame has no per-frame "
+                "tree build to pipeline — use FusedVideoCodec)"
+            )
+        frames = np.asarray(frames)
+        T, H, W = frames.shape[:3]
+        if H % 8 or W % 8:
+            raise ValueError("pipelined path needs frame dims divisible by 8")
+        from ivclab_tpu.entropy.stats import smooth_pmf
+        from ivclab_tpu.ops.transform import symbol_histogram
+
+        # stays on device end to end, and uint8 sources upload as uint8:
+        # host->device traffic through the TPU tunnel is the next
+        # bottleneck after the tree builds (measured ~9 MB/s; float32 RGB
+        # at 1080p is 25 MB/frame). The device-side f32 cast is exact.
+        ycbcr = rgb2ycbcr(jnp.asarray(frames).astype(jnp.float32))
+        y = ycbcr[..., 0]
+        qt_np, inv_np = self.intra_codec._tables(1)
+        qt, inv_qt = jnp.asarray(qt_np), jnp.asarray(inv_np)
+
+        # phase 1: dispatch every frame's device step (async); the scan
+        # dependency recon_{t-1} -> frame t stays on device
+        outs = []
+        recon_prev = jnp.zeros((H, W), jnp.float32)
+        for t in range(T):
+            local_t = t if gop_size is None else t % gop_size
+            out = _pframe_device_step(
+                y[t], recon_prev, jnp.int32(local_t), inv_qt, qt,
+                self.search_range, self.end_of_block,
+            )
+            recon_prev = out[6]
+            outs.append((local_t, out))
+
+        # MV codebook: uniform pmf trained once (reference videocodec.py:57-60)
+        n_mv = (2 * self.search_range + 1) ** 2
+        if not self._motion_trained:
+            self.motion_huffman.train(np.full(n_mv, 1.0 / n_mv))
+            self._motion_trained = True
+        mv_lens = self.motion_huffman.code.lengths
+
+        # phase 2: host tree builds overlap the queued device pipeline —
+        # each frame's histogram was computed inside its device step, so
+        # the only per-frame device->host traffic is one small fetch, and
+        # the rate reductions dispatch asynchronously (fetched in phase 3)
+        pending = []
+        for local_t, (buf, valid, mn, mx, hist, mv, recon) in outs:
+            mn_i, mx_i, hist_np, mv_np = jax.device_get((mn, mx, hist, mv))
+            lo, hi = bucket_bounds(int(mn_i), int(mx_i))
+            if _HIST_LO <= lo and hi <= _HIST_HI:
+                h = jnp.asarray(hist_np[lo - _HIST_LO : hi - _HIST_LO])
+            else:  # pathological bounds: fall back to a direct histogram
+                h = symbol_histogram(buf, valid, lo, hi)
+            # same device ops on the same integer counts as the serial
+            # facade -> bit-identical pmf -> identical canonical code
+            pmf = smooth_pmf(h.astype(jnp.float32) / jnp.sum(h))
+            coder = HuffmanCoder(lower_bound=lo).train(np.asarray(pmf, dtype=np.float64))
+            code = coder.code
+            bits_dev = _masked_code_bits(buf, valid, jnp.asarray(code.lengths), jnp.int32(lo))
+            extra = 0
+            if local_t > 0:
+                # serialized codebook charge, P-frames only (facade parity:
+                # _code_residual_plane; blob = 8B header + n lengths, +12B)
+                if self.codebook_policy == "adaptive":
+                    extra += 8 * ((8 + code.n) + 12)
+                extra += int(np.sum(mv_lens[mv_np.reshape(-1)]))
+            pending.append((bits_dev, extra, recon))
+
+        # phase 3: drain the async rate reductions
+        bits_frames = [int(b) + extra for b, extra, _ in pending]
+        recons_y = [recon for _, _, recon in pending]
+
+        recon_y = jnp.clip(jnp.stack(recons_y), 0, 255)[..., None]
+        recon_ycbcr = jnp.concatenate([recon_y, ycbcr[..., 1:]], axis=-1)
+        # truncating uint8 cast matches the facade's np astype(np.uint8)
+        recons_rgb = np.asarray(ycbcr2rgb(recon_ycbcr).astype(jnp.uint8))
+        return recons_rgb, np.asarray(bits_frames, dtype=np.int64)
 
     def encode_decode_sequence(self, frames, gop_size: int | None = None):
         """Encode a whole sequence; returns (recons, bits_per_frame).

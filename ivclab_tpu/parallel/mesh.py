@@ -45,6 +45,37 @@ def make_mesh(n_gop: int | None = None, n_tile: int | None = None, devices=None)
     return Mesh(devices.reshape(n_gop, n_tile), axis_names=("gop", "tile"))
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> bool:
+    """Multi-host entry: bring up the JAX distributed runtime.
+
+    The SURVEY.md §5 'Distributed communication backend' row: on a real
+    multi-host pod each process calls this before ``make_mesh`` so
+    ``jax.devices()`` spans every host (gop axis over DCN, tile over ICI).
+    Arguments default to the ``JAX_COORDINATOR_ADDRESS`` /
+    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` environment (also the
+    standard TPU pod auto-detection when all three are absent). Returns
+    True when a multi-process runtime was initialized, False for the
+    single-process case (no-op — every test/bench path in this repo).
+    """
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None:
+        return False  # single process: nothing to initialize
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
 def frame_sharding(mesh: Mesh):
     """Sharding for a ``[T, H, W, ...]`` frame stack: T over gop, H over tile."""
     return NamedSharding(mesh, P("gop", "tile"))

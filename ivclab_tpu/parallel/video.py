@@ -141,8 +141,7 @@ def build_sharded_video_encoder(
         n_gop = mesh.shape["gop"]
         T, Hf, Wf = frames_y.shape
         assert Hf == H and Wf == width and T % n_gop == 0
-        stacked = frames_y.reshape(n_gop * frames_y.shape[0] // n_gop, Hf, Wf)
-        recons, bits = sharded(stacked)
+        recons, bits = sharded(frames_y)
         return recons, bits.reshape(-1)
 
     return step

@@ -26,6 +26,49 @@ def imwrite(filepath: str, img) -> None:
     Image.fromarray(arr).save(filepath)
 
 
+def write_video(filepath: str, frames, fps: int = 10) -> str:
+    """Export RGB frames ``[T, H, W, 3]`` u8 to a video file.
+
+    Reference parity: the ch4 driver's cv2 mp4 export
+    (``exercises/ch4/E4-1.py:416-424``). Backends are probed in order
+    (cv2, imageio); when neither is installed (this environment ships
+    none) the frames are written as numbered PNGs next to the target with
+    the same stem — the lossless fallback — and the frame directory is
+    returned.
+    """
+    frames = np.asarray(frames)
+    if frames.dtype != np.uint8:
+        frames = np.clip(np.round(frames), 0, 255).astype(np.uint8)
+    try:
+        import cv2
+
+        H, W = frames.shape[1:3]
+        out = cv2.VideoWriter(
+            filepath, cv2.VideoWriter_fourcc(*"mp4v"), fps, (W, H)
+        )
+        for frame in frames:
+            out.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+        out.release()
+        return filepath
+    except ImportError:
+        pass
+    try:
+        import imageio
+
+        imageio.mimwrite(filepath, list(frames), fps=fps)
+        return filepath
+    except ImportError:
+        pass
+    from pathlib import Path
+
+    p = Path(filepath)
+    outdir = p.with_suffix("")
+    outdir.mkdir(parents=True, exist_ok=True)
+    for t, frame in enumerate(frames):
+        imwrite(str(outdir / f"frame{t:04d}.png"), frame)
+    return str(outdir)
+
+
 def imshow(ax, img, title=None, hide_ticks: bool = True):
     arr = np.asarray(img)
     if arr.ndim == 3 and arr.shape[-1] == 1:

@@ -127,3 +127,25 @@ def test_dense_mc_matches_gather(rng):
     a = np.asarray(motion_compensate(ref, mv, 4))
     b = np.asarray(motion_compensate_dense(ref, mv, 4))
     assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("policy", ["per-frame", "adaptive"])
+def test_pipelined_adaptive_matches_serial(foreman, policy):
+    """The pipelined per-frame-adaptive path (tree build overlapped with
+    the device pipeline) must produce bit-identical rates and identical
+    reconstructions to the serial frame loop."""
+    frames = foreman[:4]
+    serial = VideoCodec(quantization_scale=1.0, codebook_policy=policy)
+    s_recons, s_bits = serial.encode_decode_sequence(frames, gop_size=3)
+
+    pipe = VideoCodec(quantization_scale=1.0, codebook_policy=policy)
+    p_recons, p_bits = pipe.encode_decode_sequence_pipelined(frames, gop_size=3)
+
+    assert np.array_equal(p_bits, s_bits)
+    assert np.array_equal(p_recons, s_recons)
+
+
+def test_pipelined_rejects_first_p_frame(foreman):
+    codec = VideoCodec(quantization_scale=1.0, codebook_policy="first-p-frame")
+    with pytest.raises(ValueError):
+        codec.encode_decode_sequence_pipelined(foreman[:2])
