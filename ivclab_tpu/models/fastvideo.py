@@ -92,6 +92,7 @@ class PackedGop(NamedTuple):
     group_bits: jnp.ndarray   # [T, G] exact per-group bits
     block_words: int          # decoder shift-register width (bucketed)
     cap: int                  # symbol-capacity bucket
+    ok: jnp.ndarray | None = None  # device bool: sticky buckets were adequate
 
 
 def _plane_to_blocks(y):
@@ -224,6 +225,12 @@ def _decode_gop_hot(words, block_offsets, block_counts, mvs,
     return recons, ok
 
 
+@partial(jax.jit, static_argnames=("bw", "gw"))
+def _buckets_ok(bw_max, gw_max, cap_ok, bw: int, gw: int):
+    """Single device bool: this GOP fits the sticky pack buckets."""
+    return cap_ok & (bw_max + 2 <= bw) & (gw_max <= gw)
+
+
 @partial(jax.jit, static_argnames=("n_blocks", "raw_bits"))
 def _map_stream_hot(flat_syms, hot_vals, hot_fused, esc_code, esc_len,
                     n_blocks: int, raw_bits: int):
@@ -317,16 +324,26 @@ class FusedVideoCodec:
         del mv_lens
         return _encode_gop(frames_y, self.qt, self.inv_qt, jnp.asarray(lens), self.sr)
 
-    def pack_gop(self, qsyms):
+    def pack_gop(self, qsyms, check: bool = True):
         """Flat hot/escape Huffman packing of the residual symbol buffers.
 
         Host dispatcher with *sticky* size buckets: the first GOP pays
         blocking extent pre-passes to pick the symbol-capacity, group-words
-        and block-words buckets; subsequent GOPs reuse them and validate
-        from flags computed inside the pack program (one lazy fetch — host
-        round trips through the TPU tunnel cost ~10-20 ms each, which
-        dominated the pack wall time). A bucket violation (content grew)
-        triggers one synchronous re-bucket + re-pack.
+        and block-words buckets; subsequent GOPs pack SPECULATIVELY with
+        the sticky buckets (map + pack + adequacy flag all dispatched
+        back-to-back, no host read in between) and only then block on the
+        single ``ok`` flag — the ~26 ms tunnel round trip overlaps the
+        device executing the pack instead of serializing ahead of it. A
+        bucket violation (content grew) triggers one synchronous re-bucket
+        + re-pack.
+
+        With ``check=False`` the method performs NO host synchronization at
+        all: the returned :class:`PackedGop` carries the adequacy flag as a
+        device bool in ``.ok`` and the caller is responsible for checking
+        it at its next natural sync point (and re-packing via
+        :meth:`repack_gop` if it reads False). The streaming/bench hot
+        loops use this to keep the whole GOP round trip free of tunnel
+        round trips.
 
         qsyms: [T, N, 64] -> (group_words [T, G, GW] u32, total_bits [T],
         block_offsets [T, N], block_counts [T, N], block_words int).
@@ -343,16 +360,14 @@ class FusedVideoCodec:
             bw = _bucket(int(bw_max) + 2, BW_BUCKETS)
             gw = _bucket(int(gw_max), GW_BUCKETS)
             self._buckets = (cap, bw, gw)
+            okflag = jnp.bool_(True)
         else:
             cap, bw, gw = self._buckets
             codes, lens, valid, bw_max, gw_max, cap_ok = _map_gop_hot(
                 qsyms, self._hot_vals, self._hot_fused, self._esc_code,
                 self._esc_len, lo, cap, code.raw_bits,
             )
-            bw_max, gw_max, cap_ok = jax.device_get((bw_max, gw_max, cap_ok))
-            if not (bool(cap_ok) and int(bw_max) + 2 <= bw and int(gw_max) <= gw):
-                self._buckets = None
-                return self.pack_gop(qsyms)
+            okflag = _buckets_ok(bw_max, gw_max, cap_ok, bw, gw)
         group_words, group_bits, offsets = pack_grouped_sized(codes, lens, gw, bw)
 
         T, N, _ = qsyms.shape
@@ -361,9 +376,18 @@ class FusedVideoCodec:
         frame_base = (jnp.arange(T, dtype=jnp.int32) * (G * gw * 32))[:, None]
         offs = offsets.reshape(T, N) - frame_base
         gbits = group_bits.reshape(T, G)
-        return PackedGop(
-            words, jnp.sum(gbits, axis=1), offs, valid.reshape(T, N), gbits, bw, cap
+        p = PackedGop(
+            words, jnp.sum(gbits, axis=1), offs, valid.reshape(T, N), gbits, bw, cap,
+            okflag,
         )
+        if check and not bool(okflag):  # blocks; overlaps the pack execution
+            return self.repack_gop(qsyms)
+        return p
+
+    def repack_gop(self, qsyms):
+        """Drop the sticky buckets and re-pack (bucket-violation recovery)."""
+        self._buckets = None
+        return self.pack_gop(qsyms)
 
     def decode_gop(self, words, block_offsets, block_counts, mvs, H: int, W: int,
                    block_words: int | None = None, cap: int | None = None):

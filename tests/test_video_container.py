@@ -109,3 +109,33 @@ def test_cli_info_video(tmp_path, capsys):
     gop = report["gops"][0]
     assert len(gop["per_frame_bits"]) == 4
     assert gop["payload_bits"] >= sum(gop["per_frame_bits"])
+
+
+def test_pack_gop_deferred_check_and_repack(small_video):
+    """check=False packs with zero host syncs, carrying bucket adequacy as
+    a device bool; a violation (content outgrew the sticky buckets) reads
+    False and ``repack_gop`` recovers with identical streams."""
+    import jax.numpy as jnp
+
+    codec = FusedVideoCodec(quantization_scale=1.0).train(small_video[:2])
+    y = jnp.asarray(small_video)
+    qsyms, mvs, _, _ = codec.encode_gop(y)
+    ref = codec.pack_gop(qsyms)             # picks + validates the buckets
+    p = codec.pack_gop(qsyms, check=False)  # sticky speculative path
+    assert p.ok is not None and bool(p.ok)
+    np.testing.assert_array_equal(np.asarray(p.words), np.asarray(ref.words))
+    np.testing.assert_array_equal(np.asarray(p.totals), np.asarray(ref.totals))
+
+    # force a violation: shrink the sticky buckets below the content
+    cap, bw, gw = codec._buckets
+    from ivclab_tpu.models.fastvideo import GW_BUCKETS
+    if GW_BUCKETS.index(gw) > 0:
+        codec._buckets = (cap, bw, GW_BUCKETS[GW_BUCKETS.index(gw) - 1])
+        bad = codec.pack_gop(qsyms, check=False)
+        assert not bool(bad.ok)
+        fixed = codec.repack_gop(qsyms)
+        np.testing.assert_array_equal(np.asarray(fixed.words), np.asarray(ref.words))
+    # check=True self-heals from the same violation
+    codec._buckets = (cap, bw, GW_BUCKETS[0])
+    healed = codec.pack_gop(qsyms)
+    np.testing.assert_array_equal(np.asarray(healed.words), np.asarray(ref.words))
