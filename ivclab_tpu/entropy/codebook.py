@@ -202,33 +202,6 @@ def canonical_from_lengths(lengths: np.ndarray, lower_bound: int = 0) -> Canonic
     )
 
 
-def decode_lut16(code: CanonicalCode) -> np.ndarray:
-    """Flat decode table for codes limited to 16-bit lengths.
-
-    ``lut[window >> 16] = (alphabet_index << 5) | code_length`` for every
-    16-bit stream prefix. Prefix-freeness + Kraft equality mean the code
-    spans partition the 2^16 window space exactly, so one gather replaces
-    the canonical compare/first_code/group_offset/sorted_syms walk of
-    ``decode_blocks_device`` — the TPU decode loop becomes one small-table
-    gather plus dense shift-register math per symbol.
-    """
-    ml = code.max_len
-    if ml > 16:
-        raise ValueError("decode_lut16 requires code lengths <= 16")
-    lut = np.full(1 << 16, max(code.min_len, 1) & 31, dtype=np.int32)
-    lengths = code.lengths.astype(np.int64)
-    starts = (code.codes.astype(np.int64) << (16 - lengths)).astype(np.int64)
-    entries = (np.arange(code.n, dtype=np.int64) << 5) | lengths
-    for L in range(int(code.min_len), ml + 1):
-        sel = lengths == L
-        if not sel.any():
-            continue
-        span = 1 << (16 - L)
-        pos = (starts[sel][:, None] + np.arange(span, dtype=np.int64)[None, :]).ravel()
-        lut[pos] = np.repeat(entries[sel], span).astype(np.int32)
-    return lut
-
-
 def build_canonical_code(pmf: np.ndarray, lower_bound: int = 0, max_len: int = MAX_CODE_LEN) -> CanonicalCode:
     """pmf -> canonical length-limited code (the full host pipeline)."""
     pmf = np.asarray(pmf, dtype=np.float64)

@@ -313,7 +313,6 @@ class FusedVideoCodec:
 
     def encode_gop(self, frames_y):
         """[T, H, W] float32 -> per-frame symbols/motion/recon/bits."""
-        mv_lens = jnp.asarray(self.mv_code.code.lengths[: self.mv_code.K])
         # MV alphabet indices == canonical hot slots only if hot_values is
         # the identity; build_hot_code with K = n keeps hot_values sorted by
         # frequency, so map alphabet index -> its code length:
@@ -321,7 +320,6 @@ class FusedVideoCodec:
         lens[self.mv_code.hot_values] = self.mv_code.code.lengths[: self.mv_code.K]
         esc = int(self.mv_code.code.lengths[self.mv_code.K]) + self.mv_code.raw_bits
         lens[lens == 0] = esc
-        del mv_lens
         return _encode_gop(frames_y, self.qt, self.inv_qt, jnp.asarray(lens), self.sr)
 
     def pack_gop(self, qsyms, check: bool = True):
@@ -337,12 +335,14 @@ class FusedVideoCodec:
         bucket violation (content grew) triggers one synchronous re-bucket
         + re-pack.
 
-        With ``check=False`` the method performs NO host synchronization at
-        all: the returned :class:`PackedGop` carries the adequacy flag as a
-        device bool in ``.ok`` and the caller is responsible for checking
-        it at its next natural sync point (and re-packing via
-        :meth:`repack_gop` if it reads False). The streaming/bench hot
-        loops use this to keep the whole GOP round trip free of tunnel
+        With ``check=False`` the method performs no host synchronization
+        once sticky buckets are established: the returned :class:`PackedGop`
+        carries the adequacy flag as a device bool in ``.ok`` and the caller
+        is responsible for checking it at its next natural sync point (and
+        re-packing via :meth:`repack_gop` if it reads False). The very first
+        GOP after (re)training still pays the blocking bucket-picking
+        pre-passes regardless of ``check``. The streaming/bench hot loops
+        use this to keep the steady-state GOP round trip free of tunnel
         round trips.
 
         qsyms: [T, N, 64] -> (group_words [T, G, GW] u32, total_bits [T],

@@ -252,7 +252,7 @@ class IntraCodec:
         x, orig_shape = self._prepare(img, is_source_rgb)
         _, inv_qt = self._tables(x.shape[2])
         buf, valid_len, _ = forward_symbolize(x, inv_qt, self.end_of_block)
-        buf, valid_len, n_real = _pad_blocks(buf, valid_len)
+        buf, valid_len, _ = _pad_blocks(buf, valid_len)
         group_words, group_bits, block_offsets, total_bits = pack_symbols_grouped(
             buf, valid_len, self._enc_codes, self._enc_lens, code.lower_bound
         )
@@ -276,8 +276,6 @@ class IntraCodec:
     @staticmethod
     def decode_from_container(data: bytes):
         """Decode an IVC1 byte stream with a fresh codec (no shared state)."""
-        from ivclab_tpu.entropy.codebook import canonical_from_lengths
-        from ivclab_tpu.ops.bitpack import decode_blocks_device, decode_tables
         from ivclab_tpu.runtime import container as ct
 
         payload = ct.IntraPayload.from_bytes(data)

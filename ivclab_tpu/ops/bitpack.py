@@ -71,23 +71,6 @@ def pack_codes(codes, lens, bit_offsets, num_words: int):
     return words
 
 
-def encode_symbols_device(sym_idx, valid, code: CanonicalCode, num_words: int):
-    """Full device encode: symbol indices (+validity mask) -> u32 stream.
-
-    Returns ``(words, bit_offsets, total_bits)``. ``sym_idx`` are
-    0-based alphabet indices (symbol - lower_bound).
-    """
-    enc_codes = jnp.asarray(code.codes)
-    enc_lens = jnp.asarray(code.lengths)
-    idx = jnp.clip(jnp.asarray(sym_idx, dtype=jnp.int32).reshape(-1), 0, code.n - 1)
-    v = jnp.asarray(valid, dtype=bool).reshape(-1)
-    lens = jnp.where(v, enc_lens[idx], 0)
-    codes = jnp.where(v, enc_codes[idx], 0)
-    off, total = symbol_bit_layout(lens)
-    words = pack_codes(codes, lens, off, num_words)
-    return words, off, total
-
-
 @jax.jit
 def bit_window32(words, bitpos):
     """Load the 32-bit window starting at ``bitpos`` (MSB-first stream)."""
@@ -159,53 +142,6 @@ def decode_tables(code: CanonicalCode):
         jnp.asarray(code.sorted_syms),
         jnp.int32(code.min_len),
     )
-
-
-def words_capacity(num_symbols: int, max_len: int = MAX_CODE_LEN) -> int:
-    """Static u32 word capacity for a worst-case stream."""
-    return (num_symbols * max_len + 31) // 32 + 1
-
-
-@partial(jax.jit, static_argnames=("group_size", "words_per_group"))
-def pack_codes_grouped(codes, lens, group_size: int, words_per_group: int):
-    """Two-level pack: groups of blocks -> word-aligned local streams.
-
-    TPU scatters into one flat global stream serialize badly; row-local
-    scatters vectorize. So blocks are packed in groups (rows of a
-    ``[G, words_per_group]`` buffer): a row-wise exclusive cumsum gives each
-    symbol its in-group bit offset, and the two word contributions scatter
-    within the row. Each group's stream is independently word-aligned —
-    the container records per-group word counts (the ~1 bit/block padding
-    is container overhead; payload rate accounting uses exact code
-    lengths).
-
-    codes/lens: ``[G, S]`` per-group symbol codes (uint32) and lengths
-    (int32, 0 = padded slot).
-    Returns (group_words ``[G, words_per_group]`` u32,
-             group_bits ``[G]`` i32,
-             slot_bit_offsets ``[G, S]`` i32  — in-group offsets).
-    """
-    G, S = lens.shape
-    codes = _u32(codes)
-    lens = jnp.asarray(lens, dtype=jnp.int32)
-
-    csum = jnp.cumsum(lens, axis=1)
-    off = csum - lens
-    group_bits = csum[:, -1]
-
-    shift_lj = _u32((32 - lens) & 31)
-    lj = jnp.where(lens > 0, codes << shift_lj, _u32(0))
-    word = off >> 5
-    shift = _u32(off & 31)
-    part1 = lj >> shift
-    part2 = jnp.where(shift == 0, _u32(0), lj << (_u32(32) - shift))
-
-    g_idx = jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32)[:, None], (G, S))
-    word = jnp.where(lens > 0, word, words_per_group + 2)
-    buf = jnp.zeros((G, words_per_group), dtype=U32)
-    buf = buf.at[g_idx, word].add(part1, mode="drop")
-    buf = buf.at[g_idx, word + 1].add(part2, mode="drop")
-    return buf, group_bits, off
 
 
 def _next_pow2(n: int) -> int:
@@ -283,56 +219,6 @@ def pack_codes_grouped_dense2(codes, lens, group_size: int, words_per_group: int
     base = (jnp.arange(G, dtype=jnp.int32) * (words_per_group * 32))[:, None]
     block_offsets = (base + O).reshape(-1)
     return out, group_bits, block_offsets
-
-
-@partial(jax.jit, static_argnames=("max_syms", "local_words"))
-def decode_blocks_lut(words, block_bit_offsets, block_sym_counts, lut, max_syms: int, local_words: int):
-    """Shift-register block decode against a 16-bit flat LUT.
-
-    Each block's substream is gathered ONCE into a private ``[local_words]``
-    row (enough words for ``max_syms`` codes of <= 16 bits) and phase-aligned
-    so the next code always starts at bit 31 of word 0. The decode loop is
-    then gather-free except for one ``lut[window >> 16]`` lookup per symbol:
-    consume = shift the whole row left by the decoded length (dense
-    adjacent-word ops). Returns ``[B, max_syms]`` 0-based alphabet indices.
-
-    This replaces :func:`decode_blocks_device`'s per-iteration stream-window
-    gathers + canonical table walk (2 big gathers + 3 table gathers per
-    symbol) with 1 small-table gather per symbol.
-    """
-    words = _u32(words).reshape(-1)
-    offs = jnp.asarray(block_bit_offsets, dtype=jnp.int32)
-    counts = jnp.asarray(block_sym_counts, dtype=jnp.int32)
-    lut = jnp.asarray(lut, dtype=jnp.int32)
-    B = offs.shape[0]
-    L = words.shape[0]
-
-    w0 = offs >> 5
-    phase = _u32(offs & 31)[:, None]
-    idx = jnp.clip(w0[:, None] + jnp.arange(local_words, dtype=jnp.int32)[None, :], 0, L - 1)
-    local = words[idx]  # [B, LW] — the one big gather
-    nxt = jnp.concatenate([local[:, 1:], jnp.zeros((B, 1), U32)], axis=1)
-    local = jnp.where(phase == 0, local, (local << phase) | (nxt >> (_u32(32) - phase)))
-
-    max_needed = jnp.minimum(jnp.max(counts), max_syms)
-
-    def wbody(carry):
-        i, local, out = carry
-        entry = lut[(local[:, 0] >> _u32(16)).astype(jnp.int32)]
-        length = entry & 31  # in [1, 16] for any valid window
-        sym = entry >> 5
-        active = i < counts
-        out = out.at[i].set(jnp.where(active, sym, 0))
-        lu = _u32(length)[:, None]
-        nxt = jnp.concatenate([local[:, 1:], jnp.zeros((B, 1), U32)], axis=1)
-        local = jnp.where(active[:, None], (local << lu) | (nxt >> (_u32(32) - lu)), local)
-        return i + 1, local, out
-
-    out0 = jnp.zeros((max_syms, B), dtype=jnp.int32)
-    _, _, out = jax.lax.while_loop(
-        lambda c: c[0] < max_needed, wbody, (jnp.int32(0), local, out0)
-    )
-    return out.T
 
 
 @partial(jax.jit, static_argnames=("group_size", "local_words"))
@@ -438,57 +324,6 @@ def decode_blocks_hot(local, block_sym_counts, lj, first_code, group_offset,
         lambda c: c[0] < max_needed, body, (jnp.int32(0), local, out0)
     )
     return out.T
-
-
-@partial(jax.jit, static_argnames=("max_syms",))
-def decode_blocks_lut_pair(words, block_bit_offsets, block_sym_counts, lut, max_syms: int):
-    """Windowed pair decode against the 16-bit flat LUT.
-
-    Each step gathers a 32-bit window straight from the global stream at
-    every block's current bit position (2 word gathers on a ``[B]`` vector)
-    and decodes TWO codes from it (2 LUT gathers): any two codes of <= 16
-    bits fit a 32-bit window. Per symbol that is ~2 gathers and a handful
-    of ``[B]``-sized VPU ops — no per-block local stream, no ``[B, LW]``
-    shift register traffic (the cost that dominated
-    :func:`decode_blocks_lut`: measured 162 ms -> this form ~its gathers).
-    Returns ``[B, max_syms]`` 0-based alphabet indices (padded slots 0).
-    """
-    words = _u32(words).reshape(-1)
-    pos = jnp.asarray(block_bit_offsets, dtype=jnp.int32)
-    counts = jnp.asarray(block_sym_counts, dtype=jnp.int32)
-    B = pos.shape[0]
-    L = words.shape[0]
-    steps = (max_syms + 1) // 2
-
-    max_needed = jnp.max(counts)
-
-    def body(carry):
-        i, pos, out = carry
-        w = jnp.clip(pos >> 5, 0, L - 1)
-        sh = _u32(pos & 31)
-        w1 = words[w]
-        w2 = words[jnp.minimum(w + 1, L - 1)]
-        win = jnp.where(sh == 0, w1, (w1 << sh) | (w2 >> (_u32(32) - sh)))
-        e1 = lut[(win >> _u32(16)).astype(jnp.int32)]
-        l1 = e1 & 31
-        s1 = e1 >> 5
-        win2 = win << _u32(l1)
-        e2 = lut[(win2 >> _u32(16)).astype(jnp.int32)]
-        l2 = e2 & 31
-        s2 = e2 >> 5
-        k = 2 * i
-        a1 = k < counts
-        a2 = (k + 1) < counts
-        out = out.at[k].set(jnp.where(a1, s1, 0))
-        out = out.at[k + 1].set(jnp.where(a2, s2, 0))
-        pos = pos + jnp.where(a1, l1, 0) + jnp.where(a2, l2, 0)
-        return i + 1, pos, out
-
-    out0 = jnp.zeros((2 * steps, B), dtype=jnp.int32)
-    _, _, out = jax.lax.while_loop(
-        lambda c: 2 * c[0] < max_needed, body, (jnp.int32(0), pos, out0)
-    )
-    return out[:max_syms].T
 
 
 @partial(jax.jit, static_argnames=("group_size", "words_per_group"))

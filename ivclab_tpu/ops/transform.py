@@ -23,7 +23,6 @@ import jax.numpy as jnp
 
 from ivclab_tpu.ops.bitpack import (
     pack_codes,
-    pack_codes_grouped,
     pack_codes_grouped_dense,
     symbol_bit_layout,
 )
@@ -124,8 +123,8 @@ GROUP_WORDS = 1600
 def pack_symbols_grouped(buf, valid_len, enc_codes, enc_lens, lower_bound: int):
     """Huffman-pack per-block buffers into word-aligned group substreams.
 
-    This is the TPU-fast path (see ``pack_codes_grouped``): scatters stay
-    row-local. Blocks are grouped ``PACK_GROUP`` at a time; each group's
+    This is the TPU-fast path (see ``pack_codes_grouped_dense``): scatters
+    stay row-local. Blocks are grouped ``PACK_GROUP`` at a time; each group's
     stream starts word-aligned. Returns:
       group_words  [G, GROUP_WORDS] u32
       group_bits   [G] i32   (exact payload bits, no padding)
@@ -148,26 +147,6 @@ def pack_symbols_grouped(buf, valid_len, enc_codes, enc_lens, lower_bound: int):
     )
     total_bits = jnp.sum(group_bits)
     return group_words, group_bits, block_offsets, total_bits
-
-
-# Cap-bucketed fast path: code lengths limited to 16 bits, so a capacity of
-# ``cap`` symbols per block bounds the group stream at
-# ``PACK_GROUP * cap * 16 / 32`` words. The decoder recovers ``cap`` from the
-# group width (``words_per_group // (PACK_GROUP // 2)``) — no side channel.
-FAST_MAX_LEN = 16
-
-
-def group_words_for_cap(cap: int) -> int:
-    return PACK_GROUP * cap * FAST_MAX_LEN // 32
-
-
-def cap_from_group_words(words_per_group: int) -> int:
-    """Inverse of :func:`group_words_for_cap` (the decoder's bucket recovery)."""
-    return words_per_group * 32 // (PACK_GROUP * FAST_MAX_LEN)
-
-
-def block_words_for_cap(cap: int) -> int:
-    return cap * FAST_MAX_LEN // 32 + 2
 
 
 def map_codes_hot(buf, valid_len, hot_values, hot_fused, esc_code: int | None = None,
@@ -226,26 +205,3 @@ def pack_extents(lens):
     return bw, gw
 
 
-@partial(jax.jit, static_argnames=("cap",))
-def pack_symbols_grouped_cap(buf, valid_len, enc_fused, cap: int):
-    """Cap-sized grouped Huffman pack with a fused (code<<6 | len) table.
-
-    ``buf``: ``[N, cap]`` 0-based alphabet indices (already offset by the
-    codec — padded slots may hold any in-range index, they are masked by
-    ``valid_len``). ``enc_fused``: ``[n]`` uint32 with the canonical code in
-    bits 6.. and the length in bits 0..5 — ONE per-symbol gather instead of
-    two. Returns (group_words [G, W], group_bits [G], block_bit_offsets [N],
-    total_bits).
-    """
-    from ivclab_tpu.ops.bitpack import pack_codes_grouped_dense2
-
-    N, S = buf.shape
-    pos = jnp.arange(S, dtype=jnp.int32)
-    mask = pos[None, :] < valid_len[:, None]
-    fused = enc_fused[jnp.clip(buf, 0, enc_fused.shape[0] - 1)]
-    lens = jnp.where(mask, (fused & 63).astype(jnp.int32), 0)
-    codes = jnp.where(mask, fused >> 6, 0)
-    group_words, group_bits, block_offsets = pack_codes_grouped_dense2(
-        codes, lens, PACK_GROUP, group_words_for_cap(cap), block_words_for_cap(cap)
-    )
-    return group_words, group_bits, block_offsets, jnp.sum(group_bits)
