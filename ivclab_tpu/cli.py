@@ -141,9 +141,11 @@ def _trace_report(timer, pixels: int) -> dict | None:
 
 
 def cmd_encode_video(args):
-    """Encode to a real .ivc bitstream file (fused GOP codec, Y plane —
-    the reference's video codec is also luma-only,
-    ivclab/video/videocodec.py:77-80) and report RD stats."""
+    """Encode to a real .ivc bitstream file (Y plane — the reference's
+    video codec is also luma-only, ivclab/video/videocodec.py:77-80) and
+    report RD stats. ``--codebook-policy first-p-frame`` uses the fused
+    fixed-codebook GOP codec; ``per-frame``/``adaptive`` serialize
+    per-frame codebooks through the adaptive container."""
     import jax
 
     from ivclab_tpu.models.fastvideo import FusedVideoCodec
@@ -154,30 +156,49 @@ def cmd_encode_video(args):
     frames = _load_video(args.input, args.frames)
     y = np.asarray(rgb2ycbcr(frames.astype(np.float32)))[..., 0]
     gop = args.gop or frames.shape[0]
-    # pad the frame count to whole GOPs (each opens with an I-frame)
-    codec = FusedVideoCodec(quantization_scale=args.q, search_range=args.search_range)
-    with timer.stage("train"):
-        codec.train(y[: min(2, y.shape[0])])
     blobs, recons, bits = [], [], []
-    for start in range(0, y.shape[0], gop):
-        chunk = y[start : start + gop]
-        with timer.stage("encode"):
-            qsyms, mvs, mv_bits, _ = codec.encode_gop(chunk)
-            jax.block_until_ready(qsyms)
-        with timer.stage("pack"):
-            p = codec.pack_gop(qsyms)
-            jax.block_until_ready(p.words)
-        with timer.stage("serialize"):
-            blobs.append(codec.container_from_packed(p, mvs, chunk.shape))
-        with timer.stage("decode-check"):
-            r, ok = codec.decode_gop(
-                p.words, p.offsets, p.counts, mvs,
-                chunk.shape[1], chunk.shape[2], p.block_words, p.cap,
-            )
-            jax.block_until_ready(r)
-        assert bool(ok), "entropy decode self-check failed"
-        recons.append(np.asarray(r))
-        bits.extend(int(x) for x in np.asarray(p.totals + mv_bits))
+    if args.codebook_policy in ("per-frame", "adaptive"):
+        from ivclab_tpu.models.videocodec import VideoCodec
+        from ivclab_tpu.runtime.container import AdaptiveVideoPayload
+
+        codec = VideoCodec(
+            quantization_scale=args.q,
+            search_range=args.search_range,
+            codebook_policy=args.codebook_policy,
+        )
+        for start in range(0, y.shape[0], gop):
+            chunk = y[start : start + gop]
+            with timer.stage("encode"):
+                blob = codec.encode_to_container(chunk)
+            blobs.append(blob)
+            with timer.stage("decode-check"):
+                r = VideoCodec.decode_from_container(blob)
+            recons.append(np.asarray(r))
+            bits.extend(int(b) for b in AdaptiveVideoPayload.from_bytes(blob).frame_bits)
+    else:
+        # pad the frame count to whole GOPs (each opens with an I-frame)
+        codec = FusedVideoCodec(quantization_scale=args.q, search_range=args.search_range)
+        with timer.stage("train"):
+            codec.train(y[: min(2, y.shape[0])])
+        for start in range(0, y.shape[0], gop):
+            chunk = y[start : start + gop]
+            with timer.stage("encode"):
+                qsyms, mvs, mv_bits, _ = codec.encode_gop(chunk)
+                jax.block_until_ready(qsyms)
+            with timer.stage("pack"):
+                p = codec.pack_gop(qsyms)
+                jax.block_until_ready(p.words)
+            with timer.stage("serialize"):
+                blobs.append(codec.container_from_packed(p, mvs, chunk.shape))
+            with timer.stage("decode-check"):
+                r, ok = codec.decode_gop(
+                    p.words, p.offsets, p.counts, mvs,
+                    chunk.shape[1], chunk.shape[2], p.block_words, p.cap,
+                )
+                jax.block_until_ready(r)
+            assert bool(ok), "entropy decode self-check failed"
+            recons.append(np.asarray(r))
+            bits.extend(int(x) for x in np.asarray(p.totals + mv_bits))
     write_video_stream(args.output, blobs)
     recon_y = np.concatenate(recons)
     psnrs = [float(calc_psnr(y[t], recon_y[t])) for t in range(y.shape[0])]
@@ -199,11 +220,18 @@ def cmd_encode_video(args):
 def cmd_decode_video(args):
     """Reconstruct Y frames from a .ivc stream file alone."""
     from ivclab_tpu.models.fastvideo import FusedVideoCodec
+    from ivclab_tpu.models.videocodec import VideoCodec
+    from ivclab_tpu.runtime.container import KIND_VIDEO_ADAPTIVE
 
     timer = _make_timer(args)
     blobs = read_video_stream(args.input)
     frames = []
     for blob in blobs:
+        if blob[6] == KIND_VIDEO_ADAPTIVE:
+            with timer.stage("decode"):
+                recons = VideoCodec.decode_from_container(blob)
+            frames.append(np.asarray(recons))
+            continue
         with timer.stage("decode"):
             recons, ok = FusedVideoCodec.decode_from_container(blob)
             recons.block_until_ready()
@@ -265,43 +293,56 @@ def cmd_rd_sweep(args):
     print(json.dumps({"kind": args.kind, "points": points}))
 
 
+def _gop_info(blob: bytes) -> dict:
+    from ivclab_tpu.runtime.container import (
+        KIND_VIDEO_ADAPTIVE, AdaptiveVideoPayload, VideoPayload,
+    )
+
+    if blob[6] == KIND_VIDEO_ADAPTIVE:
+        p = AdaptiveVideoPayload.from_bytes(blob)
+        T, H, W = p.shape
+        return {
+            "kind": "video-gop-adaptive",
+            "policy": "adaptive" if p.policy else "per-frame",
+            "shape": [T, H, W],
+            "quantization_scale": p.quantization_scale,
+            "search_range": p.search_range,
+            "payload_bits": p.payload_bits,
+            "per_frame_bits": [int(b) for b in p.frame_bits],
+            "per_frame_codebook_symbols": [int(cb.lengths.size) for cb, _ in p.frames],
+            "container_bytes": p.container_bytes,
+            "mean_bpp": round(p.payload_bits / (T * H * W), 4),
+        }
+    p = VideoPayload.from_bytes(blob)
+    T, H, W = p.shape
+    return {
+        "kind": "video-gop",
+        "shape": [T, H, W],
+        "quantization_scale": p.quantization_scale,
+        "search_range": p.search_range,
+        "payload_bits": p.payload_bits,
+        "per_frame_bits": [int(b) for b in p.frame_bits],
+        "container_bytes": p.container_bytes,
+        "residual_hot_symbols": int(p.residual_codebook.hot_values.size),
+        "mean_bpp": round(p.payload_bits / (T * H * W), 4),
+    }
+
+
 def cmd_info(args):
-    from ivclab_tpu.runtime.container import KIND_VIDEO_GOP, IntraPayload, VideoPayload
+    from ivclab_tpu.runtime.container import (
+        KIND_VIDEO_ADAPTIVE, KIND_VIDEO_GOP, IntraPayload,
+    )
 
     data = Path(args.input).read_bytes()
     if data[:4] == STREAM_MAGIC:
-        infos = []
-        for blob in read_video_stream(args.input):
-            p = VideoPayload.from_bytes(blob)
-            T, H, W = p.shape
-            infos.append(
-                {
-                    "shape": [T, H, W],
-                    "quantization_scale": p.quantization_scale,
-                    "search_range": p.search_range,
-                    "payload_bits": p.payload_bits,
-                    "per_frame_bits": [int(b) for b in p.frame_bits],
-                    "container_bytes": p.container_bytes,
-                    "residual_hot_symbols": int(p.residual_codebook.hot_values.size),
-                    "mean_bpp": round(p.payload_bits / (T * H * W), 4),
-                }
-            )
+        infos = [_gop_info(blob) for blob in read_video_stream(args.input)]
         print(json.dumps({"kind": "video-stream", "gops": infos}))
         return
+    if len(data) > 10 and data[:4] == b"IVC1" and data[6] == KIND_VIDEO_ADAPTIVE:
+        print(json.dumps(_gop_info(data)))
+        return
     if len(data) > 10 and data[:4] == b"IVC1" and data[6] == KIND_VIDEO_GOP:
-        p = VideoPayload.from_bytes(data)
-        T, H, W = p.shape
-        print(
-            json.dumps(
-                {
-                    "kind": "video-gop",
-                    "shape": [T, H, W],
-                    "payload_bits": p.payload_bits,
-                    "per_frame_bits": [int(b) for b in p.frame_bits],
-                    "container_bytes": p.container_bytes,
-                }
-            )
-        )
+        print(json.dumps(_gop_info(data)))
         return
     p = IntraPayload.from_bytes(data)
     print(
@@ -352,6 +393,12 @@ def build_parser():
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--gop", type=int, default=None)
     p.add_argument("--search-range", type=int, default=4)
+    p.add_argument(
+        "--codebook-policy", default="first-p-frame",
+        choices=["first-p-frame", "per-frame", "adaptive"],
+        help="first-p-frame: fused fixed-codebook GOP codec; "
+             "per-frame/adaptive: per-frame codebooks in the container",
+    )
     p.set_defaults(fn=cmd_encode_video)
 
     p = sub.add_parser("decode-video")

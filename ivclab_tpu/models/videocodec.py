@@ -94,6 +94,45 @@ def _masked_code_bits(buf, valid, enc_lens, lower):
     return jnp.sum(jnp.where(mask, enc_lens[idx], 0))
 
 
+def _pack_section(buf, valid, code):
+    """Grouped-pack one frame's symbol buffers under a plain canonical code.
+
+    Returns ``(GroupedSection, exact payload bits)``; the section's words
+    are word-aligned per group with the parallel-decode sidecar, so the
+    container decoder runs ``decode_blocks_device`` over all blocks at once.
+    """
+    from ivclab_tpu.models.intracodec import _pad_blocks
+    from ivclab_tpu.ops.transform import GROUP_WORDS, PACK_GROUP, pack_symbols_grouped
+    from ivclab_tpu.runtime.container import GroupedSection
+
+    buf, valid, _ = _pad_blocks(buf, valid)
+    gw, gb, boffs, total = pack_symbols_grouped(
+        buf, valid, jnp.asarray(code.codes), jnp.asarray(code.lengths), code.lower_bound
+    )
+    section = GroupedSection.from_device(gw, gb, boffs, valid, PACK_GROUP, GROUP_WORDS)
+    return section, int(total)
+
+
+def _pack_flat_section(flat_syms, code):
+    """Pack a flat symbol stream (e.g. motion indices) as 64-symbol blocks."""
+    from ivclab_tpu.ops.transform import GROUP_WORDS, PACK_GROUP, pack_symbols_grouped
+    from ivclab_tpu.runtime.container import GroupedSection
+
+    S = 64
+    M = int(np.asarray(flat_syms).size)
+    n_blocks = max(-(-M // S), 1)
+    n_blocks = -(-n_blocks // PACK_GROUP) * PACK_GROUP
+    padded = np.zeros(n_blocks * S, dtype=np.int32)
+    padded[:M] = np.asarray(flat_syms, dtype=np.int32).reshape(-1)
+    buf = jnp.asarray(padded.reshape(n_blocks, S))
+    counts = jnp.asarray(np.clip(M - np.arange(n_blocks) * S, 0, S).astype(np.int32))
+    gw, gb, boffs, total = pack_symbols_grouped(
+        buf, counts, jnp.asarray(code.codes), jnp.asarray(code.lengths), code.lower_bound
+    )
+    section = GroupedSection.from_device(gw, gb, boffs, counts, PACK_GROUP, GROUP_WORDS)
+    return section, int(total)
+
+
 class VideoCodec:
     def __init__(
         self,
@@ -174,6 +213,14 @@ class VideoCodec:
         Frame 0 is an I-frame; later frames are P-frames predicted from the
         decoder reconstruction of the previous frame. Only luma is coded;
         chroma passes through (reference videocodec.py:77-80).
+
+        ``bitstream`` is a self-contained IVC1 frame blob (codebooks + MV +
+        residual streams) that :meth:`decode_frame_payload` reconstructs
+        without encoder state — unlike the reference, which returns the MV
+        words only and decodes residuals from internal state
+        (``ivclab/video/videocodec.py:57-86``). ``bitsize`` keeps the
+        reference's rate accounting (exact residual + MV code lengths,
+        plus the codebook charge under the ``adaptive`` policy).
         """
         frame_ycbcr = np.asarray(rgb2ycbcr(np.asarray(frame, dtype=np.float32)))
         y_channel = frame_ycbcr[..., 0]
@@ -181,20 +228,21 @@ class VideoCodec:
         if frame_num == 0:
             if self.codebook_policy != "adaptive":
                 self.intra_codec.train_huffman_from_image(y_channel, is_source_rgb=False)
-                recon_y, bitstream, residual_bits = self.intra_codec.encode_decode(
+                recon_y, _, residual_bits = self.intra_codec.encode_decode(
                     y_channel, is_source_rgb=False
                 )
             else:
-                bitstream, residual_bits = self.intra_codec.intra_encode(
+                packed, residual_bits = self.intra_codec.intra_encode(
                     y_channel, is_source_rgb=False
                 )
-                recon_y = self.intra_codec.intra_decode(bitstream, y_channel.shape)
+                recon_y = self.intra_codec.intra_decode(packed, y_channel.shape)
             motion_bits = 0
             self.decoder_recon = np.asarray(recon_y)
+            bitstream = self._frame_blob(y_channel, self.intra_codec, residual_bits)
         else:
             ref_y = self.decoder_recon
             mv = np.asarray(motion_search(ref_y, y_channel, self.search_range))
-            bitstream, motion_bits, mv_decoded = self._code_motion(mv)
+            _, motion_bits, mv_decoded = self._code_motion(mv)
             prediction = np.asarray(
                 motion_compensate(ref_y, jnp.asarray(mv_decoded), self.search_range)
             )
@@ -202,11 +250,292 @@ class VideoCodec:
             recon_residual, residual_bits = self._code_residual_plane(residual)
             recon_y = prediction + np.asarray(recon_residual)
             self.decoder_recon = recon_y
+            bitstream = self._frame_blob(
+                residual, self.residual_codec,
+                int(residual_bits) + int(motion_bits), mv=mv_decoded,
+            )
 
         recon_ycbcr = frame_ycbcr.copy()
         recon_ycbcr[..., 0] = np.clip(recon_y, 0, 255)
         recon_rgb = np.asarray(ycbcr2rgb(recon_ycbcr)).astype(np.uint8)
         return recon_rgb, bitstream, int(residual_bits) + int(motion_bits)
+
+    # -------------------------------------------------- per-frame wire blobs
+
+    def _require_mv_code(self):
+        num_symbols = (2 * self.search_range + 1) ** 2
+        if not self._motion_trained:
+            self.motion_huffman.train(np.full(num_symbols, 1.0 / num_symbols))
+            self._motion_trained = True
+        return self.motion_huffman.code
+
+    def _frame_blob(self, plane, codec_obj, bits: int, mv=None) -> bytes:
+        """Serialize one facade frame to a self-contained IVC1 blob.
+
+        I-frames (``mv is None``) become a T=1 ``AdaptiveVideoPayload``;
+        P-frames a ``PFramePayload`` (MV + residual streams + codebooks).
+        ``codec_obj`` supplies the trained canonical code and quant tables
+        actually used by the facade for this frame.
+        """
+        from ivclab_tpu.ops.transform import forward_symbolize
+        from ivclab_tpu.runtime.container import (
+            AdaptiveVideoPayload, Codebook, PFramePayload,
+        )
+
+        code = codec_obj.huffman.code
+        x, orig_shape = codec_obj._prepare(plane, is_source_rgb=False)
+        _, inv_qt = codec_obj._tables(1)
+        buf, valid, _ = forward_symbolize(x, jnp.asarray(inv_qt), self.end_of_block)
+        section, _ = _pack_section(buf, valid, code)
+        cb = Codebook(code.lower_bound, np.asarray(code.lengths, dtype=np.uint8))
+        mv_code = self._require_mv_code()
+        mv_cb = Codebook(0, np.asarray(mv_code.lengths, dtype=np.uint8))
+        H, W = orig_shape[0], orig_shape[1]
+        if mv is None:
+            mv_section, _ = _pack_flat_section(np.zeros(0, np.int32), mv_code)
+            return AdaptiveVideoPayload(
+                quantization_scale=self.quantization_scale,
+                eob=self.end_of_block,
+                search_range=self.search_range,
+                policy=1 if self.codebook_policy == "adaptive" else 0,
+                shape=(1, H, W),
+                payload_bits=int(bits),
+                frame_bits=np.asarray([bits], dtype=np.uint64),
+                mv_codebook=mv_cb,
+                mv=mv_section,
+                frames=[(cb, section)],
+            ).to_bytes()
+        mv_section, _ = _pack_flat_section(np.asarray(mv).reshape(-1), mv_code)
+        return PFramePayload(
+            quantization_scale=self.quantization_scale,
+            eob=self.end_of_block,
+            search_range=self.search_range,
+            shape=(H, W),
+            payload_bits=int(bits),
+            mv_codebook=mv_cb,
+            mv=mv_section,
+            residual_codebook=cb,
+            residual=section,
+        ).to_bytes()
+
+    @staticmethod
+    def decode_frame_payload(blob: bytes, recon_prev=None):
+        """Reconstruct one facade frame's luma plane from its blob alone.
+
+        I-frame blobs (T=1 adaptive payloads) decode standalone; P-frame
+        blobs additionally need the caller's previous reconstruction (the
+        natural decoder state — NOT encoder state: codebooks, symbol
+        counts and MVs all come from the bytes, unlike the reference's
+        ``intra_decode``/``encode_decode`` side channels,
+        ``ivclab/video/videocodec.py:57-86``).
+        """
+        from ivclab_tpu.ops.bitpack import decode_blocks_device, decode_tables
+        from ivclab_tpu.ops.quant import quant_table_zigzag
+        from ivclab_tpu.ops.transform import inverse_reconstruct
+        from ivclab_tpu.ops.zerorun import BLOCK_CAP, zerorun_decode_blocks
+        from ivclab_tpu.runtime.container import (
+            KIND_PFRAME, KIND_VIDEO_ADAPTIVE, PFramePayload,
+        )
+
+        kind = blob[6]
+        if kind == KIND_VIDEO_ADAPTIVE:
+            return VideoCodec.decode_from_container(blob)[0]
+        if kind != KIND_PFRAME:
+            raise ValueError(f"not a frame payload (kind={kind})")
+        if recon_prev is None:
+            raise ValueError("P-frame decode needs the previous reconstruction")
+        p = PFramePayload.from_bytes(blob)
+        H, W = p.shape
+        sr, eob = p.search_range, p.eob
+        hb, wb = H // 8, W // 8
+        n_real = hb * wb
+
+        mv_code = p.mv_codebook.canonical()
+        words, offs, counts = p.mv.device_views()
+        sym = decode_blocks_device(words, offs, counts, decode_tables(mv_code), 64)
+        pos = jnp.arange(64, dtype=jnp.int32)
+        sym = jnp.where(pos[None, :] < counts[:, None], sym, 0)
+        mv = jnp.asarray(np.asarray(sym.reshape(-1)[:n_real]).reshape(hb, wb))
+
+        code = p.residual_codebook.canonical()
+        words, offs, counts = p.residual.device_views()
+        sym_idx = decode_blocks_device(words, offs, counts, decode_tables(code), BLOCK_CAP)
+        syms = jnp.where(
+            jnp.arange(BLOCK_CAP)[None, :] < counts[:, None],
+            sym_idx + code.lower_bound,
+            0,
+        )[:n_real]
+        blocks, ok = zerorun_decode_blocks(syms, counts[:n_real], 64, eob)
+        if not bool(ok):
+            raise ValueError("corrupt P-frame residual stream")
+        qt = jnp.asarray(quant_table_zigzag(p.quantization_scale, 1))
+        rrec = inverse_reconstruct(blocks, qt, (H, W, 1))[:, :, 0]
+        pred = motion_compensate(jnp.asarray(recon_prev, dtype=jnp.float32), mv, sr)
+        return np.asarray(pred + rrec)
+
+    # -------------------------------------------------- container (wire format)
+
+    def encode_to_container(self, frames_y) -> bytes:
+        """Encode a luma sequence into a self-contained IVC1 byte stream
+        with PER-FRAME residual codebooks (``per-frame``/``adaptive``
+        policies — the fixed-codebook ``first-p-frame`` policy serializes
+        through :class:`~ivclab_tpu.models.fastvideo.FusedVideoCodec`'s
+        ``KIND_VIDEO_GOP`` instead).
+
+        The reference ships adaptive codebooks as pickles reloaded from
+        encoder-side files (``exercises/ch4/E4-1.py:240-263,326-334``);
+        here each frame section carries its canonical code lengths, so
+        :meth:`decode_from_container` reconstructs the sequence from bytes
+        alone, bit-identical to the in-memory ``encode_decode`` chain.
+
+        ``frames_y``: ``[T, H, W]`` float (H, W multiples of 8).
+        """
+        if self.codebook_policy not in ("per-frame", "adaptive"):
+            raise ValueError(
+                "the adaptive container serializes per-frame codebooks; use "
+                "policy 'per-frame' or 'adaptive' (first-p-frame streams "
+                "serialize via FusedVideoCodec.encode_to_container)"
+            )
+        from ivclab_tpu.entropy.stats import smooth_pmf
+        from ivclab_tpu.ops.transform import symbol_histogram, forward_symbolize
+        from ivclab_tpu.ops.transform import inverse_reconstruct
+        from ivclab_tpu.runtime.container import AdaptiveVideoPayload, Codebook
+
+        frames_y = np.asarray(frames_y, dtype=np.float32)
+        T, H, W = frames_y.shape
+        if H % 8 or W % 8:
+            raise ValueError("container path needs frame dims divisible by 8")
+        qt_np, inv_np = self.intra_codec._tables(1)
+        qt, inv_qt = jnp.asarray(qt_np), jnp.asarray(inv_np)
+        sr, eob = self.search_range, self.end_of_block
+
+        n_mv = (2 * sr + 1) ** 2
+        if not self._motion_trained:
+            self.motion_huffman.train(np.full(n_mv, 1.0 / n_mv))
+            self._motion_trained = True
+        mv_code = self.motion_huffman.code
+
+        recon_prev = None
+        mvs = []
+        frame_sections = []
+        frame_bits = np.zeros(T, dtype=np.uint64)
+        for t in range(T):
+            y = jnp.asarray(frames_y[t])
+            if t == 0:
+                pred = jnp.zeros((H, W), jnp.float32)
+            else:
+                mv = motion_search(recon_prev, y, sr)
+                mvs.append(np.asarray(mv))
+                pred = motion_compensate(recon_prev, mv, sr)
+            plane = y - pred
+            buf, valid, qsym = forward_symbolize(plane[:, :, None], inv_qt, eob)
+            # per-frame codebook: same device ops on the same counts as the
+            # facade's _train_from_buffers -> identical canonical code
+            mn, mx = _sym_min_max(buf, valid)
+            lo, hi = bucket_bounds(int(mn), int(mx))
+            hist = symbol_histogram(buf, valid, lo, hi)
+            pmf = smooth_pmf(hist.astype(jnp.float32) / jnp.sum(hist))
+            coder = HuffmanCoder(lower_bound=lo).train(np.asarray(pmf, dtype=np.float64))
+            code = coder.code
+            section, rbits = _pack_section(buf, valid, code)
+            frame_sections.append((Codebook(lo, np.asarray(code.lengths, dtype=np.uint8)), section))
+
+            bits = int(rbits)
+            if t > 0:
+                # facade rate parity (_code_residual_plane/_code_motion):
+                # MV code lengths + the adaptive policy's codebook charge
+                bits += int(np.sum(np.asarray(mv_code.lengths)[np.asarray(mvs[-1]).reshape(-1)]))
+                if self.codebook_policy == "adaptive":
+                    bits += 8 * ((8 + code.n) + 12)
+            frame_bits[t] = bits
+
+            rrec = inverse_reconstruct(qsym, qt, (H, W, 1))[:, :, 0]
+            recon_prev = pred + rrec
+            self.decoder_recon = np.asarray(recon_prev)
+
+        mv_flat = (
+            np.stack(mvs).reshape(-1).astype(np.int32)
+            if mvs else np.zeros(0, dtype=np.int32)
+        )
+        mv_section, _ = _pack_flat_section(mv_flat, mv_code)
+        payload = AdaptiveVideoPayload(
+            quantization_scale=self.quantization_scale,
+            eob=eob,
+            search_range=sr,
+            policy=1 if self.codebook_policy == "adaptive" else 0,
+            shape=(T, H, W),
+            payload_bits=int(frame_bits.sum()),
+            frame_bits=frame_bits,
+            mv_codebook=Codebook(0, np.asarray(mv_code.lengths, dtype=np.uint8)),
+            mv=mv_section,
+            frames=frame_sections,
+        )
+        return payload.to_bytes()
+
+    @classmethod
+    def decode_from_container(cls, blob: bytes):
+        """Reconstruct ``[T, H, W]`` float32 luma from bytes alone.
+
+        A fresh process needs nothing but the blob: per-frame codebooks,
+        MV streams and residual streams all come out of the container
+        (unlike the reference decoder, which reads codebook metadata from
+        encoder-side pickle files, ``exercises/ch4/E4-1.py:326-334``).
+        """
+        from ivclab_tpu.ops.bitpack import decode_blocks_device, decode_tables
+        from ivclab_tpu.ops.transform import inverse_reconstruct
+        from ivclab_tpu.ops.zerorun import BLOCK_CAP, zerorun_decode_blocks
+        from ivclab_tpu.runtime.container import AdaptiveVideoPayload
+
+        p = AdaptiveVideoPayload.from_bytes(blob)
+        T, H, W = p.shape
+        sr, eob = p.search_range, p.eob
+        codec = cls(
+            quantization_scale=p.quantization_scale,
+            end_of_block=eob,
+            search_range=sr,
+            codebook_policy="adaptive" if p.policy else "per-frame",
+        )
+        qt = jnp.asarray(codec.intra_codec._tables(1)[0])
+        hb, wb = H // 8, W // 8
+        hp, wp = -(-H // 8), -(-W // 8)  # padded grid (T=1 I-frame blobs
+        # from the facade may carry edge-padded non-8-multiple shapes)
+
+        # MV streams (frames 1..T-1)
+        M = (T - 1) * hb * wb
+        if M:
+            mv_code = p.mv_codebook.canonical()
+            words, offs, counts = p.mv.device_views()
+            sym = decode_blocks_device(words, offs, counts, decode_tables(mv_code), 64)
+            pos = jnp.arange(64, dtype=jnp.int32)
+            sym = jnp.where(pos[None, :] < counts[:, None], sym, 0)
+            mvs = np.asarray(sym.reshape(-1)[:M]).reshape(T - 1, hb, wb)
+
+        n_real = hp * wp
+        recon_prev = None
+        recons = []
+        for t, (cb, section) in enumerate(p.frames):
+            code = cb.canonical()
+            words, offs, counts = section.device_views()
+            sym_idx = decode_blocks_device(
+                words, offs, counts, decode_tables(code), BLOCK_CAP
+            )
+            syms = jnp.where(
+                jnp.arange(BLOCK_CAP)[None, :] < counts[:, None],
+                sym_idx + code.lower_bound,
+                0,
+            )[:n_real]
+            blocks, ok = zerorun_decode_blocks(syms, counts[:n_real], 64, eob)
+            if not bool(ok):
+                raise ValueError(f"frame {t}: corrupt residual stream")
+            rrec = inverse_reconstruct(blocks, qt, (hp * 8, wp * 8, 1))[:H, :W, 0]
+            if t == 0:
+                recon = rrec
+            else:
+                pred = motion_compensate(recon_prev, jnp.asarray(mvs[t - 1]), sr)
+                recon = pred + rrec
+            recon_prev = recon
+            recons.append(recon)
+        return np.stack([np.asarray(r) for r in recons])
 
     def encode_decode_sequence_checkpointed(self, frames, gop_size: int, checkpointer):
         """GOP-granular fault-tolerant encode (SURVEY.md §5 'Failure

@@ -33,6 +33,8 @@ VERSION = 1
 KIND_INTRA = 0
 KIND_PLANE = 1
 KIND_VIDEO_GOP = 2
+KIND_VIDEO_ADAPTIVE = 3
+KIND_PFRAME = 4
 
 LAYOUT_CONTIGUOUS = 0
 LAYOUT_GROUPED = 1
@@ -375,6 +377,155 @@ class VideoPayload:
             [offs[:, 1:], (s.group_word_counts.astype(np.int64) * 32)[:, None]], axis=1
         )
         return int(((ends - offs).max() + 31) // 32) + 2
+
+
+@dataclass
+class AdaptiveVideoPayload:
+    """A coded GOP with PER-FRAME residual codebooks: the wire format of
+    the ``per-frame`` and ``adaptive`` codebook policies.
+
+    The reference's ``AdaptiveVideoCodec`` ships each frame's codebook
+    metadata as a Python pickle alongside the stream
+    (``exercises/ch4/E4-1.py:240-263,326-334``;
+    ``ivclab/image/intracodec.py:252-263``). Here every frame section
+    carries its canonical code lengths (canonical codes are fully
+    reconstructible from lengths) plus a grouped residual stream, so a
+    fresh process decodes the whole sequence from bytes alone. Layout:
+
+      header     magic, version, kind=KIND_VIDEO_ADAPTIVE, policy flag,
+                 q, eob, T/H/W, payload bit count, search range
+      mv         Huffman codebook (uniform-pmf canonical lengths) + the
+                 grouped MV stream for frames 1..T-1
+      frames     T x [residual codebook + grouped residual stream]
+
+    ``payload_bits`` follows the matching facade policy's rate accounting
+    (``models/videocodec.py:_code_residual_plane``): exact residual + MV
+    code lengths, plus the serialized-codebook charge on P-frames when
+    ``policy == 1`` (adaptive).
+    """
+
+    quantization_scale: float
+    eob: int
+    search_range: int
+    policy: int  # 0 = per-frame (codebooks uncharged), 1 = adaptive
+    shape: tuple  # (T, H, W)
+    payload_bits: int
+    frame_bits: np.ndarray  # [T] u64, per-frame bits (facade accounting)
+    mv_codebook: Codebook
+    mv: GroupedSection
+    frames: list  # [T] of (Codebook, GroupedSection)
+
+    def to_bytes(self) -> bytes:
+        T, H, W = self.shape
+        head = struct.pack(
+            "<4sHBBfiIIIQ",
+            MAGIC, VERSION, KIND_VIDEO_ADAPTIVE, self.policy,
+            self.quantization_scale, self.eob,
+            T, H, W, self.payload_bits,
+        ) + struct.pack("<B", self.search_range)
+        parts = [
+            head,
+            np.asarray(self.frame_bits, dtype="<u8").tobytes(),
+            self.mv_codebook.to_bytes(),
+            self.mv.to_bytes(),
+        ]
+        for cb, section in self.frames:
+            parts.append(cb.to_bytes())
+            parts.append(section.to_bytes())
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, data: bytes):
+        buf = memoryview(data)
+        magic, version, kind, policy, q, eob, T, H, W, pbits = struct.unpack_from(
+            "<4sHBBfiIIIQ", buf, 0
+        )
+        if magic != MAGIC:
+            raise ValueError("not an IVC1 container")
+        if version != VERSION:
+            raise ValueError(f"unsupported container version {version}")
+        if kind != KIND_VIDEO_ADAPTIVE:
+            raise ValueError(f"not an adaptive video container (kind={kind})")
+        off = struct.calcsize("<4sHBBfiIIIQ")
+        (sr,) = struct.unpack_from("<B", buf, off)
+        off += 1
+        frame_bits = np.frombuffer(buf, dtype="<u8", count=T, offset=off).copy()
+        off += 8 * T
+        mv_cb, off = Codebook.from_buffer(buf, off)
+        mv, off = GroupedSection.from_buffer(buf, off)
+        frames = []
+        for _ in range(T):
+            cb, off = Codebook.from_buffer(buf, off)
+            section, off = GroupedSection.from_buffer(buf, off)
+            frames.append((cb, section))
+        return cls(q, eob, sr, policy, (T, H, W), pbits, frame_bits, mv_cb, mv, frames)
+
+    @property
+    def container_bytes(self) -> int:
+        return len(self.to_bytes())
+
+
+@dataclass
+class PFramePayload:
+    """One coded P-frame: MV + residual streams with their codebooks.
+
+    The wire form of the facade ``VideoCodec.encode_decode`` P-frame
+    output. The reference returns the MV words only and decodes residuals
+    from encoder state (``ivclab/video/videocodec.py:57-86``); this blob
+    carries everything a decoder holding the previous reconstruction
+    needs: both codebooks (canonical lengths), the grouped MV stream and
+    the grouped residual stream.
+    """
+
+    quantization_scale: float
+    eob: int
+    search_range: int
+    shape: tuple  # (H, W)
+    payload_bits: int  # exact MV + residual code-length sum (the RD rate)
+    mv_codebook: Codebook
+    mv: GroupedSection
+    residual_codebook: Codebook
+    residual: GroupedSection
+
+    def to_bytes(self) -> bytes:
+        H, W = self.shape
+        head = struct.pack(
+            "<4sHBBfiIIQ",
+            MAGIC, VERSION, KIND_PFRAME, 0,
+            self.quantization_scale, self.eob, H, W, self.payload_bits,
+        ) + struct.pack("<B", self.search_range)
+        return b"".join([
+            head,
+            self.mv_codebook.to_bytes(),
+            self.mv.to_bytes(),
+            self.residual_codebook.to_bytes(),
+            self.residual.to_bytes(),
+        ])
+
+    @classmethod
+    def from_bytes(cls, data: bytes):
+        buf = memoryview(data)
+        magic, version, kind, _, q, eob, H, W, pbits = struct.unpack_from(
+            "<4sHBBfiIIQ", buf, 0
+        )
+        if magic != MAGIC:
+            raise ValueError("not an IVC1 container")
+        if version != VERSION:
+            raise ValueError(f"unsupported container version {version}")
+        if kind != KIND_PFRAME:
+            raise ValueError(f"not a P-frame container (kind={kind})")
+        off = struct.calcsize("<4sHBBfiIIQ")
+        (sr,) = struct.unpack_from("<B", buf, off)
+        off += 1
+        mv_cb, off = Codebook.from_buffer(buf, off)
+        mv, off = GroupedSection.from_buffer(buf, off)
+        res_cb, off = Codebook.from_buffer(buf, off)
+        residual, off = GroupedSection.from_buffer(buf, off)
+        return cls(q, eob, sr, (H, W), pbits, mv_cb, mv, res_cb, residual)
+
+    @property
+    def container_bytes(self) -> int:
+        return len(self.to_bytes())
 
 
 def grouped_payload_from_device(

@@ -111,6 +111,133 @@ def test_cli_info_video(tmp_path, capsys):
     assert gop["payload_bits"] >= sum(gop["per_frame_bits"])
 
 
+# ---------------------------------------------------------------- adaptive
+# Per-frame-codebook wire format (VERDICT r3 #1): the reference ships
+# adaptive codebooks as encoder-side pickles (exercises/ch4/E4-1.py:240-334);
+# here they serialize into the stream and a FRESH process decodes from
+# bytes alone.
+
+
+@pytest.fixture(scope="module")
+def rgb_video():
+    return fixtures.video("container", num_frames=4, shape=(96, 128))
+
+
+@pytest.mark.parametrize("policy", ["adaptive", "per-frame"])
+def test_adaptive_container_bit_exact_and_rate_parity(rgb_video, policy):
+    from ivclab_tpu.models.videocodec import VideoCodec
+    from ivclab_tpu.ops.color import rgb2ycbcr
+    from ivclab_tpu.runtime.container import AdaptiveVideoPayload
+
+    y = np.asarray(rgb2ycbcr(rgb_video.astype(np.float32)))[..., 0]
+    enc = VideoCodec(quantization_scale=1.0, codebook_policy=policy)
+    blob = enc.encode_to_container(y)
+
+    # a fresh codec, from bytes alone
+    dec = VideoCodec.decode_from_container(blob)
+
+    # the facade's in-memory recursion (reference-parity path)
+    facade = VideoCodec(quantization_scale=1.0, codebook_policy=policy)
+    fac_recons, fac_bits = [], []
+    for t in range(rgb_video.shape[0]):
+        facade.encode_decode(rgb_video[t], frame_num=t)
+        fac_recons.append(np.asarray(facade.decoder_recon))
+        fac_bits.append(0)
+    np.testing.assert_array_equal(dec, np.stack(fac_recons))
+
+    p = AdaptiveVideoPayload.from_bytes(blob)
+    assert p.policy == (1 if policy == "adaptive" else 0)
+    assert p.shape == y.shape
+    assert len(p.frames) == y.shape[0]
+    assert p.container_bytes == len(blob)
+
+
+def test_adaptive_container_rate_matches_facade(rgb_video):
+    """frame_bits reproduce the facade's exact per-frame rate accounting
+    (residual + MV code lengths + the adaptive codebook charge)."""
+    from ivclab_tpu.models.videocodec import VideoCodec
+    from ivclab_tpu.ops.color import rgb2ycbcr
+    from ivclab_tpu.runtime.container import AdaptiveVideoPayload
+
+    y = np.asarray(rgb2ycbcr(rgb_video.astype(np.float32)))[..., 0]
+    for policy in ("adaptive", "per-frame"):
+        blob = VideoCodec(
+            quantization_scale=1.0, codebook_policy=policy
+        ).encode_to_container(y)
+        p = AdaptiveVideoPayload.from_bytes(blob)
+        facade = VideoCodec(quantization_scale=1.0, codebook_policy=policy)
+        fac_bits = [
+            facade.encode_decode(rgb_video[t], frame_num=t)[2]
+            for t in range(rgb_video.shape[0])
+        ]
+        assert [int(b) for b in p.frame_bits] == fac_bits
+
+
+def test_adaptive_container_rejects_first_p_frame_policy(rgb_video):
+    from ivclab_tpu.models.videocodec import VideoCodec
+
+    vc = VideoCodec(codebook_policy="first-p-frame")
+    with pytest.raises(ValueError, match="per-frame codebooks"):
+        vc.encode_to_container(np.zeros((2, 16, 16), np.float32))
+
+
+def test_cli_adaptive_video_roundtrip(tmp_path, rgb_video, capsys):
+    import json as _json
+
+    from ivclab_tpu import cli
+    from ivclab_tpu.ops.color import rgb2ycbcr
+
+    out = tmp_path / "seq_adaptive.ivc"
+    dec = tmp_path / "recon.npy"
+    cli.main([
+        "encode-video", "fixture:container", str(out),
+        "--q", "1.0", "--frames", "4", "--codebook-policy", "adaptive",
+    ])
+    capsys.readouterr()
+    cli.main(["decode-video", str(out), str(dec)])
+    capsys.readouterr()
+    recon = np.load(dec)
+    frames = fixtures.video("container", num_frames=4)
+    yq = np.asarray(rgb2ycbcr(frames.astype(np.float32)))[..., 0]
+    psnr = 10 * np.log10(255.0**2 / np.mean((recon.astype(np.float64) - yq) ** 2))
+    assert psnr > 28.0
+    cli.main(["info", str(out)])
+    report = _json.loads(capsys.readouterr().out)
+    gop = report["gops"][0]
+    assert gop["kind"] == "video-gop-adaptive"
+    assert gop["policy"] == "adaptive"
+    assert len(gop["per_frame_codebook_symbols"]) == 4
+
+
+# -------------------------------------------------------------- frame blobs
+# The facade's per-frame bitstream (VERDICT r3 #9): every encode_decode
+# call returns a blob decodable with only the previous reconstruction.
+
+
+@pytest.mark.parametrize("policy", ["first-p-frame", "per-frame", "adaptive"])
+def test_facade_frame_blobs_decode_without_encoder_state(rgb_video, policy):
+    from ivclab_tpu.models.videocodec import VideoCodec
+
+    enc = VideoCodec(quantization_scale=1.0, codebook_policy=policy)
+    recon_prev = None
+    for t in range(3):
+        _, blob, bits = enc.encode_decode(rgb_video[t], frame_num=t)
+        assert isinstance(blob, bytes) and bits > 0
+        dec = VideoCodec.decode_frame_payload(blob, recon_prev)
+        np.testing.assert_array_equal(dec, np.asarray(enc.decoder_recon))
+        recon_prev = dec
+
+
+def test_pframe_blob_requires_reference(rgb_video):
+    from ivclab_tpu.models.videocodec import VideoCodec
+
+    enc = VideoCodec(quantization_scale=1.0)
+    enc.encode_decode(rgb_video[0], frame_num=0)
+    _, blob, _ = enc.encode_decode(rgb_video[1], frame_num=1)
+    with pytest.raises(ValueError, match="previous reconstruction"):
+        VideoCodec.decode_frame_payload(blob)
+
+
 def test_pack_gop_deferred_check_and_repack(small_video):
     """check=False packs with zero host syncs, carrying bucket adequacy as
     a device bool; a violation (content outgrew the sticky buckets) reads
