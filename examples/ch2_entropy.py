@@ -46,7 +46,25 @@ def main():
     h3 = float(ivc.calc_entropy(ivc.stats_marg(merged, np.arange(-255, 255))))
     print(f"predictor entropies: single={h1:.4f}  three-pixel={h3:.4f} bits")
 
-    # ex_huffcoder: Huffman on three-pixel residuals (via my_utils parity helper)
+    # ex_huffcoder: Huffman on the min-entropy (LOCO-I/median) predictor
+    # residuals (exercises/ch2/ex_huffcoder.py:76-116 workload)
+    from ivclab_tpu.entropy.huffman import HuffmanCoder
+    from ivclab_tpu.models.predictive import min_entropy_predictor
+
+    gray = np.asarray(ivc.rgb2gray(images["lena"])).astype(np.int32)
+    res, _ = min_entropy_predictor(gray)
+    res_pmf = ivc.stats_marg(res, np.arange(-255, 257))
+    h_me = float(ivc.calc_entropy(res_pmf))
+    coder_me = HuffmanCoder(lower_bound=-255).train(
+        np.asarray(ivc.smooth_pmf(res_pmf), dtype=np.float64)
+    )
+    _, me_bits = coder_me.encode(res)
+    print(
+        f"min-entropy predictor: residual entropy={h_me:.4f} bits, "
+        f"huffman rate={me_bits / res.size:.4f} bpp"
+    )
+
+    # my_utils parity helper: Huffman on three-pixel residuals
     from ivclab_tpu.utils.huffman_helpers import huffman_encoding, train_huffman
 
     coder, res_y, res_cbcr = train_huffman(images["lena"])

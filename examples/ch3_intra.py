@@ -36,7 +36,20 @@ def main():
     recon = codec.symbols2image(symbols, lena_small.shape)
     print(f"  round trip PSNR = {float(ivc.calc_psnr(lena_small, recon)):.2f} dB")
 
-    # K3-1: DCT coefficient-dropping study (keep the first k zig-zag coeffs)
+    # K3-1: full-image DCT coefficient-dropping study (K3-1.py:17-39) —
+    # zero the top-|magnitude| 1/5/10% of whole-image DCT coefficients and
+    # measure the PSNR collapse (the energy-compaction ablation)
+    gray = jnp.asarray(ivc.rgb2gray(lena))[:, :, 0].astype(jnp.float32)
+    full_coeffs = dct2(gray)
+    order = jnp.argsort(-jnp.abs(full_coeffs).reshape(-1))
+    for perc in (0.01, 0.05, 0.10):
+        n_drop = int(perc * full_coeffs.size)
+        dropped = full_coeffs.reshape(-1).at[order[:n_drop]].set(0.0)
+        rec = jnp.clip(idct2(dropped.reshape(full_coeffs.shape)), 0, 255)
+        psnr = float(ivc.calc_psnr(gray, rec))
+        print(f"drop top {int(perc * 100):2d}% |DCT| coefficients: PSNR = {psnr:.2f} dB")
+
+    # zig-zag retention variant: keep only the first k scan coefficients
     patcher = Patcher()
     patched = jnp.asarray(patcher.patch(lena_small), dtype=jnp.float32)
     coeffs = dct2(patched)

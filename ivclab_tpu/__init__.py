@@ -64,6 +64,7 @@ from ivclab_tpu.ops.quant import PatchQuant
 from ivclab_tpu.models import (
     IntraCodec,
     IntraCodecAdaptive,
+    min_entropy_predictor,
     single_pixel_predictor,
     three_pixels_predictor,
     yuv420compression,
@@ -81,7 +82,7 @@ __all__ = [
     "stats_marg", "smooth_pmf", "calc_entropy", "min_code_length",
     "stats_joint", "stats_cond", "HuffmanCoder", "ZeroRunCoder",
     "PatchQuant",
-    "IntraCodec", "IntraCodecAdaptive", "single_pixel_predictor",
+    "IntraCodec", "IntraCodecAdaptive", "min_entropy_predictor", "single_pixel_predictor",
     "three_pixels_predictor", "yuv420compression",
     "MotionCompensator", "VideoCodec",
 ]

@@ -36,6 +36,42 @@ def single_pixel_predictor(image):
     return np.asarray(jnp.round(jnp.clip(residual, -255, 255)))
 
 
+def min_entropy_predictor(image):
+    """Open-loop LOCO-I (median / edge-detecting) predictor residuals.
+
+    Reference parity: ``exercises/ch2/ex_huffcoder.py:76-116``. Per pixel,
+    with N/W/NW the original (not reconstructed) neighbors:
+
+      pred = min(N, W)      if NW >= max(N, W)   (edge above/left)
+             max(N, W)      if NW <= min(N, W)
+             N + W - NW     otherwise            (gradient plane)
+
+    First row predicts from W, first column from N, pixel (0, 0) from 128.
+    Open-loop means no wavefront dependency: the whole field is three
+    shifted views and two selects, one fused VPU pass. Arithmetic is int32
+    (the reference's uint8 buffer can wrap on the gradient case; inputs
+    here are widened first).
+
+    Returns ``(residuals [H*W] int32 row-major, predicted [H, W] int32)``
+    — the reference's output contract.
+    """
+    x = jnp.asarray(image, dtype=jnp.int32)
+    if x.ndim == 3 and x.shape[2] == 1:  # [H, W, 1] grayscale (rgb2gray)
+        x = x[:, :, 0]
+    H, W = x.shape
+    N = jnp.concatenate([jnp.zeros((1, W), jnp.int32), x[:-1]], axis=0)
+    Wn = jnp.concatenate([jnp.zeros((H, 1), jnp.int32), x[:, :-1]], axis=1)
+    NW = jnp.concatenate([jnp.zeros((H, 1), jnp.int32), N[:, :-1]], axis=1)
+    mx = jnp.maximum(N, Wn)
+    mn = jnp.minimum(N, Wn)
+    pred = jnp.where(NW >= mx, mn, jnp.where(NW <= mn, mx, N + Wn - NW))
+    pred = pred.at[0, :].set(Wn[0, :])  # first row: left neighbor
+    pred = pred.at[:, 0].set(N[:, 0])   # first column: upper neighbor
+    pred = pred.at[0, 0].set(128)
+    residuals = (x - pred).reshape(-1)
+    return np.asarray(residuals), np.asarray(pred)
+
+
 def three_pixels_predictor(image, subsample_color_channels: bool = False):
     """Closed-loop 3-neighbor DPCM residuals for Y and CbCr.
 

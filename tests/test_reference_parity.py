@@ -172,6 +172,47 @@ def test_single_pixel_predictor_matches_reference(rng_mod):
     np.testing.assert_allclose(got[:, 1:].reshape(want.shape), want, atol=1e-3)
 
 
+def _load_ref_min_entropy_predictor():
+    """Extract exercises/ch2/ex_huffcoder.py:minimum_entropy_predictor.
+
+    The module imports constriction/matplotlib at top level, so the
+    function body is compiled alone via ast (its only dependency is np).
+    """
+    import ast
+    from pathlib import Path
+
+    path = Path("/root/reference/exercises/ch2/ex_huffcoder.py")
+    if not path.is_file():
+        return None
+    tree = ast.parse(path.read_text())
+    fn = next(
+        (n for n in tree.body
+         if isinstance(n, ast.FunctionDef) and n.name == "minimum_entropy_predictor"),
+        None,
+    )
+    if fn is None:
+        return None
+    ns = {"np": np}
+    exec(compile(ast.Module(body=[fn], type_ignores=[]), str(path), "exec"), ns)
+    return ns["minimum_entropy_predictor"]
+
+
+def test_min_entropy_predictor_matches_reference(rng_mod):
+    from ivclab_tpu.models.predictive import min_entropy_predictor
+
+    ref_fn = _load_ref_min_entropy_predictor()
+    if ref_fn is None:
+        pytest.skip("reference ex_huffcoder.py unavailable")
+    # int32 input: the reference's uint8 buffer wraps on the gradient case
+    # (N + W - NW can leave [0, 255]); both sides get widened pixels so the
+    # comparison is of the predictor rule, not the latent overflow
+    img = (rng_mod.random((24, 32)) * 255).astype(np.int32)
+    want_res, want_pred = ref_fn(img)
+    got_res, got_pred = min_entropy_predictor(img)
+    np.testing.assert_array_equal(got_res, np.asarray(want_res))
+    np.testing.assert_array_equal(got_pred, np.asarray(want_pred))
+
+
 def test_three_pixels_predictor_matches_reference(rng_mod):
     from ivclab_tpu.models.predictive import three_pixels_predictor
 
