@@ -55,7 +55,7 @@ def load_reference():
     sig_pkg = _fake_pkg("ivclab.signal")
     utl_pkg = _fake_pkg("ivclab.utils")
     ent_pkg = _fake_pkg("ivclab.entropy")
-    _fake_pkg("ivclab.quantization")
+    qnt_pkg = _fake_pkg("ivclab.quantization")
     _fake_pkg("ivclab.image")
     _fake_pkg("ivclab.video")
 
@@ -80,10 +80,29 @@ def load_reference():
     predictive = _load("ivclab.image.predictive", iv / "image" / "predictive.py")
     motion = _load("ivclab.video.motion", iv / "video" / "motion.py")
 
+    # The reference IntraCodec imports HuffmanCoder (constriction-gated)
+    # at module level but its transform front-end (image2symbols /
+    # symbols2image) never touches it. Expose the leaf symbols it needs on
+    # the fake packages, substituting this repo's API-compatible canonical
+    # HuffmanCoder — the differential RD test then codes the reference's
+    # own symbol streams with optimal canonical lengths (rate <=
+    # constriction's Huffman on the same pmf).
+    from ivclab_tpu.entropy.huffman import HuffmanCoder as _TpuHuffmanCoder
+
+    ent_pkg.ZeroRunCoder = zerorun.ZeroRunCoder
+    ent_pkg.stats_marg = entropy.stats_marg
+    ent_pkg.smooth_pmf = entropy.smooth_pmf
+    ent_pkg.HuffmanCoder = _TpuHuffmanCoder
+    qnt_pkg.PatchQuant = patchquant.PatchQuant
+    utl_pkg.ZigZag = shape.ZigZag
+    utl_pkg.Patcher = shape.Patcher
+    sig_pkg.DiscreteCosineTransform = dct.DiscreteCosineTransform
+    intracodec = _load("ivclab.image.intracodec", iv / "image" / "intracodec.py")
+
     _cache = dict(
         color=color, shape=shape, metrics=metrics, dct=dct, zigzag=zigzag,
         signal=signal, probability=probability, entropy=entropy,
         zerorun=zerorun, patchquant=patchquant, predictive=predictive,
-        motion=motion,
+        motion=motion, intracodec=intracodec,
     )
     return _cache

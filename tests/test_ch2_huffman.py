@@ -121,3 +121,51 @@ def test_mean_code_length_close_to_entropy():
     coder = HuffmanCoder().train(pmf)
     h = float(calc_entropy(pmf))
     assert h <= coder.mean_code_length() <= h + 1.0
+
+
+@pytest.mark.parametrize("q", [0.5, 1.0, 3.0])
+def test_hot_escape_rate_within_2pct_of_full_huffman(q):
+    """The hot/escape code's claimed rate bound (codebook.py HotCode
+    docstring: within ~1% of the full-alphabet Huffman) holds on real
+    codec streams: residual and MV symbol streams across q scales."""
+    import jax.numpy as jnp
+
+    from ivclab_tpu.entropy.codebook import build_hot_code
+    from ivclab_tpu.entropy.stats import smooth_pmf
+    from ivclab_tpu.models.fastvideo import EOB, FusedVideoCodec
+    from ivclab_tpu.ops.transform import symbol_histogram
+    from ivclab_tpu.ops.zerorun import zerorun_encode_blocks
+    from ivclab_tpu.utils import fixtures
+
+    frames = fixtures.video("hotrate", num_frames=4, shape=(96, 128))
+    y = np.ascontiguousarray(frames.astype(np.float32).mean(axis=-1))
+    codec = FusedVideoCodec(quantization_scale=q).train(y[:2])
+    qsyms, mvs, _, _ = codec.encode_gop(jnp.asarray(y))
+
+    def rates(flat_syms, lo, alphabet_n):
+        """(full-alphabet Huffman bits, hot/escape bits) on one stream."""
+        hist = np.bincount(flat_syms - lo, minlength=alphabet_n).astype(np.float64)
+        pmf = np.asarray(smooth_pmf(hist / hist.sum()), dtype=np.float64)
+        full = build_canonical_code(pmf, lower_bound=lo)
+        full_bits = int(full.lengths[flat_syms - lo].sum())
+        hc = build_hot_code(hist, lower_bound=lo)
+        per_alpha = np.full(
+            alphabet_n, int(hc.code.lengths[hc.K]) + hc.raw_bits, dtype=np.int64
+        )
+        per_alpha[hc.hot_values] = hc.code.lengths[: hc.K]
+        hot_bits = int(per_alpha[flat_syms - lo].sum())
+        return full_bits, hot_bits
+
+    # residual zero-run stream
+    buf, valid = zerorun_encode_blocks(qsyms.reshape(-1, 64), 64, EOB)
+    mask = np.arange(buf.shape[1])[None, :] < np.asarray(valid)[:, None]
+    syms = np.asarray(buf)[mask]
+    lo = codec.residual_code.lower_bound
+    full_bits, hot_bits = rates(syms, lo, codec.residual_code.alphabet_n)
+    assert hot_bits <= 1.02 * full_bits, (q, "residual", hot_bits / full_bits)
+
+    # motion-vector stream (frames 1..T-1)
+    mv_syms = np.asarray(mvs)[1:].reshape(-1)
+    n_mv = (2 * codec.sr + 1) ** 2
+    full_bits, hot_bits = rates(mv_syms, 0, n_mv)
+    assert hot_bits <= 1.02 * full_bits, (q, "mv", hot_bits / full_bits)

@@ -248,6 +248,39 @@ def test_motion_search_matches_reference(rng_mod):
     )
 
 
+def test_rd_curve_matches_reference_pipeline():
+    """Differential RD parity on the ch3 sweep (exercises/ch3/ex1.py:21-51):
+    the reference's OWN image2symbols/symbols2image pipeline (loaded by
+    file path; its symbol streams coded by this repo's canonical coder, so
+    rate <= constriction's Huffman on the same pmf) against IntraCodec,
+    per q: |dPSNR| < 0.1 dB, |dbpp| < 2%."""
+    import contextlib
+    import io
+
+    from ivclab_tpu.models import IntraCodec
+    from ivclab_tpu.utils import calc_psnr, fixtures
+
+    ref_ic = ref["intracodec"]
+    lena = fixtures.image("lena")
+    lena_small = fixtures.image("lena_small")
+
+    for q in (0.05, 0.15, 0.3):
+        r = ref_ic.IntraCodec(quantization_scale=q)
+        with contextlib.redirect_stdout(io.StringIO()):  # debug-print spray
+            r.train_huffman_from_image(lena_small, is_source_rgb=True)
+            bitstream, bpp_ref = r.intra_encode(lena, return_bpp=True)
+            recon_ref = r.intra_decode(bitstream, lena.shape)
+        psnr_ref = float(calc_psnr(lena, recon_ref))
+
+        c = IntraCodec(quantization_scale=q)
+        c.train_huffman_from_image(lena_small)
+        recon, _, _, bpp = c.encode_decode(lena, return_bpp=True)
+        psnr_tpu = float(calc_psnr(lena, recon))
+
+        assert abs(psnr_tpu - psnr_ref) < 0.1, (q, psnr_tpu, psnr_ref)
+        assert abs(bpp - bpp_ref) / bpp_ref < 0.02, (q, bpp, bpp_ref)
+
+
 def test_metrics_match_reference(rng_mod):
     from ivclab_tpu.utils.metrics import calc_mse, calc_psnr
 
