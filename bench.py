@@ -11,7 +11,19 @@ reconstruction chain — through the fused device GOP pipeline
 same resolution (BASELINE.json: ">= 30 fps 1080p on one v5e chip"), so
 ``vs_baseline = fps / 30``.
 
-Env knobs: IVC_BENCH_H/W/FRAMES/ITERS/Q (defaults 1088/1920/8/3/1.0).
+Measurement design (VERDICT r3 'make the bench honest'):
+- the headline is the median of IVC_BENCH_REPEATS sync-free timed loops
+  (each dispatches IVC_BENCH_ITERS GOP round trips back-to-back and blocks
+  once), with every repeat's throughput reported so run-to-run variance is
+  visible;
+- per-stage attribution comes from amortized per-phase loops (N dispatches
+  of one phase, one sync, time/N) — not from single blocking calls, which
+  bundle the ~26 ms TPU-tunnel round trip into every stage and made the
+  r3 stage sum contradict the headline 6x;
+- PSNR-Y and mean bpp quantify the quality half of the "30 fps at
+  reference PSNR/bpp" claim.
+
+Env knobs: IVC_BENCH_H/W/FRAMES/ITERS/REPEATS/Q (1088/1920/8/3/3/1.0).
 """
 
 from __future__ import annotations
@@ -51,6 +63,7 @@ def main():
     W = int(os.environ.get("IVC_BENCH_W", 1920))
     T = int(os.environ.get("IVC_BENCH_FRAMES", 8))
     iters = int(os.environ.get("IVC_BENCH_ITERS", 3))
+    repeats = int(os.environ.get("IVC_BENCH_REPEATS", 3))
     q = float(os.environ.get("IVC_BENCH_Q", 1.0))
 
     if not _tpu_alive():
@@ -72,65 +85,95 @@ def main():
     frames = fixtures.video("bench", num_frames=T, shape=(H, W))
     y = np.ascontiguousarray(frames.astype(np.float32).mean(axis=-1))
 
-    from ivclab_tpu.runtime.trace import StageTimer
-
     codec = FusedVideoCodec(quantization_scale=q)
     codec.train(y[:2])
 
     dev_y = jax.device_put(y)
 
-    def roundtrip(timer=None):
-        """One GOP encode->pack->decode. With a timer, each stage blocks
-        (honest per-stage wall time). Without one, every phase is
-        dispatched back-to-back with ZERO host syncs — the tunnel round
-        trip (~26 ms here) otherwise serializes ahead of device compute
-        (~117 ms/GOP) three times per GOP; bucket adequacy rides along as
-        the device bool ``p.ok`` checked at the caller's sync point.
+    def roundtrip():
+        """One GOP encode->pack->decode, every phase dispatched
+        back-to-back with ZERO host syncs — the tunnel round trip (~26 ms
+        here) otherwise serializes ahead of device compute three times per
+        GOP; bucket adequacy rides along as the device bool ``p.ok``
+        checked at the caller's sync point.
         """
-        blocking = timer is not None
-        t = timer or StageTimer(enabled=False)
-        with t.stage("encode"):
-            qsyms, mvs, mv_bits, enc_recons = codec.encode_gop(dev_y)
-            if blocking:
-                jax.block_until_ready(qsyms)
-        with t.stage("pack"):
-            p = codec.pack_gop(qsyms, check=blocking)
-            if blocking:
-                jax.block_until_ready(p.words)
-        with t.stage("decode"):
-            recons, ok = codec.decode_gop(
-                p.words, p.offsets, p.counts, mvs, H, W, p.block_words, p.cap
-            )
-            if blocking:
-                jax.block_until_ready(recons)
-        return recons, p.totals + mv_bits, ok, enc_recons, p
+        qsyms, mvs, mv_bits, enc_recons = codec.encode_gop(dev_y)
+        p = codec.pack_gop(qsyms, check=False)
+        recons, ok = codec.decode_gop(
+            p.words, p.offsets, p.counts, mvs, H, W, p.block_words, p.cap
+        )
+        return recons, p.totals + mv_bits, ok, enc_recons, p, qsyms, mvs
 
-    # warmup / compile + correctness check
-    recons, bits, ok, enc_recons, p = roundtrip(StageTimer(enabled=False))
+    # warmup / compile + correctness + quality (PSNR-Y of the decoded
+    # frames against the source — the quality half of the headline claim)
+    codec.pack_gop(codec.encode_gop(dev_y)[0])  # establish sticky buckets
+    recons, bits, ok, enc_recons, p, qsyms_w, mvs_w = roundtrip()
     recons.block_until_ready()
-    assert bool(ok), "entropy decode failed"
+    assert bool(ok) and bool(p.ok), "entropy decode / pack buckets failed"
     err = float(abs(np.asarray(recons) - np.asarray(enc_recons)).max())
     assert err < 1e-2, f"decoder mismatch: {err}"
+    rec_np = np.asarray(recons)
+    mse = np.mean((rec_np - y) ** 2, axis=(1, 2))
+    psnr_y = float(np.mean(20 * np.log10(255.0 / np.sqrt(np.maximum(mse, 1e-12)))))
 
-    # instrumented blocking pass: per-stage wall times (not in the timed loop)
-    timer = StageTimer(annotate=False)
-    roundtrip(timer)
-
-    t0 = time.perf_counter()
-    all_ok = None
+    # one untimed loop to warm allocator/tunnel state (the first timed
+    # repeat otherwise reads ~2x slow and only the median hides it)
     for _ in range(iters):
-        recons, bits, ok, _, p = roundtrip()
-        # accumulate device-side so no iteration's flags are discarded
-        it_ok = ok if p.ok is None else ok & p.ok
-        all_ok = it_ok if all_ok is None else all_ok & it_ok
+        recons, *_ = roundtrip()
     recons.block_until_ready()
-    dt = time.perf_counter() - t0
-    assert bool(all_ok), "entropy decode / pack buckets failed in timed loop"
 
-    pixels = H * W * T * iters
-    mpix_per_s = pixels / dt / 1e6
-    fps = pixels / (H * W) / dt
+    # timed loops: `repeats` independent sync-free loops of `iters` GOPs;
+    # median is the headline, every repeat is reported (variance is real:
+    # r2->r3 recorded-vs-rerun spread was ~12%)
+    repeat_dts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        all_ok = None
+        for _ in range(iters):
+            recons, bits, ok, _, p, _, _ = roundtrip()
+            # accumulate device-side so no iteration's flags are discarded
+            it_ok = ok if p.ok is None else ok & p.ok
+            all_ok = it_ok if all_ok is None else all_ok & it_ok
+        recons.block_until_ready()
+        repeat_dts.append(time.perf_counter() - t0)
+        assert bool(all_ok), "entropy decode / pack buckets failed in timed loop"
+
+    gop_pixels = H * W * T
+    reps_mpix = sorted(gop_pixels * iters / dt / 1e6 for dt in repeat_dts)
+    mpix_per_s = float(np.median(reps_mpix))
+    fps = mpix_per_s * 1e6 / (H * W)
     baseline_mpix = H * W * 30 / 1e6  # 30 fps real-time at this resolution
+
+    # per-stage attribution: amortized per-phase loops (N dispatches, ONE
+    # sync, time/N) so no stage carries the blocking tunnel round trip
+    def timed_phase(fn, n=iters):
+        out = None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn()
+        jax.block_until_ready(out)
+        return 1000 * (time.perf_counter() - t0) / n
+
+    stages = {
+        "encode": timed_phase(lambda: codec.encode_gop(dev_y)[0]),
+        "pack": timed_phase(lambda: codec.pack_gop(qsyms_w, check=False).words),
+        "decode": timed_phase(
+            lambda: codec.decode_gop(
+                p.words, p.offsets, p.counts, mvs_w, H, W, p.block_words, p.cap
+            )[0]
+        ),
+    }
+    gop_ms = float(np.median(repeat_dts)) * 1000 / iters
+
+    # optional xprof capture of one sync-free loop (view with tensorboard)
+    trace_dir = os.environ.get("IVC_BENCH_TRACE")
+    if trace_dir:
+        from ivclab_tpu.runtime.trace import device_trace
+
+        with device_trace(trace_dir):
+            for _ in range(iters):
+                recons, *_ = roundtrip()
+            recons.block_until_ready()
 
     print(
         json.dumps(
@@ -143,14 +186,18 @@ def main():
                     "fps": round(fps, 2),
                     "frames": T,
                     "iters": iters,
+                    "repeats": repeats,
+                    "repeats_mpix_per_s": [round(v, 2) for v in reps_mpix],
+                    "psnr_y_db": round(psnr_y, 2),
                     "mean_bpp": round(float(np.mean(np.asarray(bits))) / (H * W), 4),
                     "backend": jax.default_backend(),
-                    # per-stage wall times from the instrumented blocking
-                    # pass; the timed loop itself runs sync-free
-                    "stages_ms_per_gop": {
-                        name: round(1000 * timer.totals[name], 1)
-                        for name in sorted(timer.totals)
+                    "gop_ms": round(gop_ms, 1),
+                    # amortized per-phase device-loop times; their sum
+                    # should track gop_ms (no tunnel latency per stage)
+                    "stages_ms_per_gop_amortized": {
+                        k: round(v, 1) for k, v in stages.items()
                     },
+                    "stage_sum_ms": round(sum(stages.values()), 1),
                 },
             }
         )
