@@ -115,6 +115,9 @@ def main():
     rec_np = np.asarray(recons)
     mse = np.mean((rec_np - y) ** 2, axis=(1, 2))
     psnr_y = float(np.mean(20 * np.log10(255.0 / np.sqrt(np.maximum(mse, 1e-12)))))
+    # fail loudly if throughput ever comes at the cost of quality: ~31 dB
+    # is this content's q=1.0 operating point (reference-parity transform)
+    assert psnr_y > 28.0, f"PSNR-Y collapsed: {psnr_y:.2f} dB"
 
     # one untimed loop to warm allocator/tunnel state (the first timed
     # repeat otherwise reads ~2x slow and only the median hides it)

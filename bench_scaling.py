@@ -1,15 +1,24 @@
-"""Scaling benchmark: frames/s vs device count on the virtual CPU mesh.
+"""Scaling benchmark: throughput vs device count on the virtual CPU mesh.
 
 BASELINE.md targets >= 80% frames/s scaling efficiency from 1 to 2 hosts.
 Real multi-chip hardware is not available in this environment (one TPU chip
 behind a tunnel), so this harness measures the *sharded program* — the full
 distributed codec of ``ivclab_tpu.parallel.video.build_sharded_video_codec``
 (halo motion search, per-shard entropy packing, psum reductions) — on
-1/2/4/8 virtual CPU devices (``xla_force_host_platform_device_count``).
+1/2/4/8 virtual CPU devices (``xla_force_host_platform_device_count``),
+weak-scaling BOTH mesh axes:
 
-Weak scaling on the ``gop`` axis: each device owns one GOP of ``gop_len``
-frames, so per-device work is constant and ideal wall time is flat; the
-reported efficiency is ``fps(N) / (N * fps(1))``.
+- ``gop`` axis: each device owns one GOP of ``GOP_LEN`` frames
+  (embarrassingly parallel; no frame-to-frame sharing);
+- ``tile`` axis: each device owns one 1080p row band (136 x 1920 — at 8
+  devices the frame is exactly 1920x1088), exercising the per-P-frame
+  ppermute halo exchange and psum rate reduction across devices.
+
+Per-device work is constant along each sweep, so ideal wall time is flat
+and efficiency is ``throughput(N) / (N * throughput(1))`` in pixels/s.
+The tile sweep pins the pack buckets to one generous static size so every
+device count runs the identical per-band program (content-adaptive
+buckets would confound the scaling signal).
 
 Caveat recorded in the output: virtual CPU devices share this host's
 physical cores (2 here), so beyond n_devices == n_cores the measurement is
@@ -34,8 +43,15 @@ GOP_LEN = 4
 H, W = 256, 384
 ITERS = 3
 
+# tile sweep: one 1080p row band per device (8 devices = 1920x1088)
+TILE_BAND_H, TILE_W = 136, 1920
+TILE_GOP_LEN = 2
+# static pack buckets spanning every device count's content (see module
+# docstring); adequacy is asserted per run
+TILE_CAP, TILE_BW, TILE_GW = 64, 36, 576
 
-def child(n_devices: int) -> None:
+
+def _setup_devices(n_devices: int):
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={n_devices}"
@@ -43,6 +59,11 @@ def child(n_devices: int) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    return jax
+
+
+def child_gop(n_devices: int) -> None:
+    jax = _setup_devices(n_devices)
     import numpy as np
 
     from ivclab_tpu.models.fastvideo import FusedVideoCodec
@@ -74,36 +95,108 @@ def child(n_devices: int) -> None:
     jax.block_until_ready(out.words)
     dt = time.perf_counter() - t0
 
-    fps = T * ITERS / dt
-    print(json.dumps({"n_devices": n_devices, "fps": fps, "frames": T, "iters": ITERS}))
+    print(json.dumps({
+        "n_devices": n_devices,
+        "fps": T * ITERS / dt,
+        "mpix_per_s": T * H * W * ITERS / dt / 1e6,
+        "frames": T, "iters": ITERS,
+    }))
 
 
-def main() -> None:
+def child_tile(n_devices: int) -> None:
+    jax = _setup_devices(n_devices)
+    import numpy as np
+
+    from ivclab_tpu.models.fastvideo import FusedVideoCodec
+    from ivclab_tpu.parallel.mesh import make_mesh
+    from ivclab_tpu.parallel.video import build_sharded_video_codec, shard_frames
+    from ivclab_tpu.utils import fixtures
+
+    mesh = make_mesh(n_gop=1, n_tile=n_devices, devices=jax.devices()[:n_devices])
+    Hf = TILE_BAND_H * n_devices
+    frames = fixtures.video("scaling-tile", num_frames=TILE_GOP_LEN, shape=(Hf, TILE_W))
+    y = np.ascontiguousarray(frames.astype(np.float32).mean(axis=-1))
+
+    codec = FusedVideoCodec(quantization_scale=1.0).train(y[:2])
+    step = build_sharded_video_codec(
+        mesh, codec, gop_len=TILE_GOP_LEN, band_h=TILE_BAND_H, width=TILE_W,
+        cap=TILE_CAP, group_words=TILE_GW, block_words=TILE_BW,
+    )
+    frames_dev = shard_frames(y, mesh)
+    out = step(frames_dev)  # compile + warmup
+    jax.block_until_ready(out.words)
+    # static-bucket adequacy: every block's symbols fit, no group overflow
+    assert int(np.asarray(out.counts).max()) <= TILE_CAP
+    assert int((np.asarray(out.group_bits).max() + 31) // 32) <= TILE_GW
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = step(frames_dev)
+    jax.block_until_ready(out.words)
+    dt = time.perf_counter() - t0
+
+    print(json.dumps({
+        "n_devices": n_devices,
+        "fps": TILE_GOP_LEN * ITERS / dt,
+        "mpix_per_s": TILE_GOP_LEN * Hf * TILE_W * ITERS / dt / 1e6,
+        "frame": [Hf, TILE_W], "iters": ITERS,
+    }))
+
+
+def _run_sweep(mode: str, counts=(1, 2, 4, 8)):
+    """Each device count in a fresh subprocess, CPU-affinity-pinned to
+    min(n, n_cores) cores: a single XLA CPU device otherwise spreads its
+    intra-op thread pool over every host core, making the '1-device'
+    baseline already multi-core and silently deflating every efficiency
+    (observed: unpinned tile-axis throughput was flat at ~2 Mpix/s for
+    all N because each point was the same 2 cores)."""
+    n_cores = os.cpu_count() or 1
     results = []
-    for n in (1, 2, 4, 8):
+    for n in counts:
+        cores = f"0-{min(n, n_cores) - 1}" if min(n, n_cores) > 1 else "0"
         proc = subprocess.run(
-            [sys.executable, __file__, "--child", str(n)],
+            ["taskset", "-c", cores, sys.executable, __file__,
+             f"--child-{mode}", str(n)],
             capture_output=True, text=True, timeout=1200,
         )
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
         if proc.returncode != 0 or not line.startswith("{"):
             sys.stderr.write(proc.stderr[-2000:])
-            raise RuntimeError(f"child n={n} failed")
+            raise RuntimeError(f"child {mode} n={n} failed")
         results.append(json.loads(line))
-
-    base = results[0]["fps"]
+    base = results[0]["mpix_per_s"]
     for r in results:
-        r["efficiency"] = round(r["fps"] / (r["n_devices"] * base), 3)
+        r["efficiency"] = round(r["mpix_per_s"] / (r["n_devices"] * base), 3)
+    return results
+
+
+def main() -> None:
+    gop_results = _run_sweep("gop")
+    tile_results = _run_sweep("tile")
 
     n_cores = os.cpu_count() or 1
-    eff2 = next(r["efficiency"] for r in results if r["n_devices"] == 2)
+    eff2 = next(r["efficiency"] for r in gop_results if r["n_devices"] == 2)
+    eff2_tile = next(r["efficiency"] for r in tile_results if r["n_devices"] == 2)
     report = {
-        "metric": f"weak-scaling frames/s, gop axis, {W}x{H} q=1.0 full sharded codec",
-        "unit": "fps",
+        "metric": "weak-scaling pixel throughput, full sharded codec, q=1.0",
+        "unit": "Mpix/s",
         "host_cores": n_cores,
         "baseline_target": "efficiency >= 0.8 at 2 devices (BASELINE.md 2-host target)",
-        "results": results,
-        "efficiency_at_2": eff2,
+        "gop_axis": {
+            "config": f"{W}x{H}, {GOP_LEN}-frame GOP per device",
+            "results": gop_results,
+            "efficiency_at_2": eff2,
+        },
+        "tile_axis": {
+            "config": (
+                f"one {TILE_W}x{TILE_BAND_H} row band per device "
+                f"(8 devices = 1920x{TILE_BAND_H * 8} — the 1080p bench frame), "
+                f"{TILE_GOP_LEN}-frame GOP, static pack buckets "
+                f"cap={TILE_CAP}/bw={TILE_BW}/gw={TILE_GW}"
+            ),
+            "results": tile_results,
+            "efficiency_at_2": eff2_tile,
+        },
         "analysis": (
             "Virtual CPU devices time-share this host's physical cores "
             f"(n_cores={n_cores}), so efficiency beyond n_devices==n_cores measures "
@@ -112,20 +205,26 @@ def main() -> None:
             "plus one scalar psum per frame (~KB per GOP) against ~MB of per-band "
             "transform/pack compute, i.e. a sub-1% communication fraction on real "
             "ICI/DCN; the gop axis additionally shares nothing frame-to-frame. "
-            "The 1->2 device point is the meaningful proxy for the 2-host target "
-            "on this 2-core host."
+            "The 1->2 device points are the meaningful proxies for the 2-host "
+            "target on this 2-core host."
         ),
     }
     with open(os.path.join(os.path.dirname(__file__) or ".", "SCALING.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps({
-        "metric": report["metric"], "value": eff2, "unit": "efficiency@2dev",
+        "metric": report["metric"],
+        "value": eff2,
+        "unit": "efficiency@2dev (gop axis; tile axis " + str(eff2_tile) + ")",
         "vs_baseline": round(eff2 / 0.8, 3),
     }))
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 2 and sys.argv[1] == "--child":
-        child(int(sys.argv[2]))
+    if len(sys.argv) > 2 and sys.argv[1] == "--child-gop":
+        child_gop(int(sys.argv[2]))
+    elif len(sys.argv) > 2 and sys.argv[1] == "--child-tile":
+        child_tile(int(sys.argv[2]))
+    elif len(sys.argv) > 2 and sys.argv[1] == "--child":  # back-compat
+        child_gop(int(sys.argv[2]))
     else:
         main()

@@ -132,6 +132,25 @@ def pallas_vmem_fits(H: int, W: int, search_range: int, budget: int = 12 * 1024 
     return (total * hp + H) * panel_w * 8 < budget
 
 
+def pallas_tile_vmem_fits(band_h: int, W: int, search_range: int,
+                          budget: int = 12 * 1024 * 1024) -> bool:
+    """VMEM-fits rule for the halo-aware tile kernel (one sharded band).
+
+    Same estimate as :func:`pallas_vmem_fits` with the band's row count:
+    the kernel holds the column-shift stack of the halo-extended band
+    (``band_h + 2*sr`` rows, sublane-padded) plus the current band panel,
+    double-buffered.
+    """
+    from ivclab_tpu.ops.motion_pallas import _pick_panel_w
+
+    if W % 128:
+        return False
+    panel_w = _pick_panel_w(band_h, W, search_range, budget)
+    htp = -(-(band_h + 2 * search_range) // 8) * 8
+    total = 2 * search_range + 1
+    return (total * htp + band_h) * panel_w * 8 < budget
+
+
 def motion_search_auto(ref_image, image, search_range: int = 4, block: int = 8):
     """Backend dispatcher: Pallas kernel on TPU (when the padded reference
     fits VMEM), XLA candidate scan elsewhere. Results are bit-identical."""

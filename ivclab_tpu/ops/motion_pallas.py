@@ -113,6 +113,115 @@ def _pick_panel_w(H: int, W: int, sr: int, vmem_budget: int = 12 * 1024 * 1024) 
     return W
 
 
+def _me_tile_kernel(ref_ref, cur_ref, vy_ref, rmat_ref, cmat_ref, out_ref, *,
+                    sr, block, panel_w, Ht, W):
+    """Halo-aware variant of :func:`_me_kernel` for one sharded row band.
+
+    ``ref_ref`` holds the column-shift stack of the halo-extended band
+    (rows span [row0 - sr, row0 + Ht + sr) of the global frame), and the
+    y-validity of each (dy, block-row) pair arrives precomputed in
+    ``vy_ref`` — it depends on the band's global row offset, which is a
+    traced ``axis_index`` under shard_map and so cannot be a static
+    in-kernel constant like the single-frame kernel's bounds.
+    """
+    p = pl.program_id(0)
+    hb = Ht // block
+    pwb = panel_w // block
+    total = 2 * sr + 1
+
+    cur = cur_ref[:, :]  # [Ht, panel_w]
+    rmat = rmat_ref[:, :]  # [hb, Ht]
+    cmat = cmat_ref[:, :]  # [panel_w, pwb]
+    col0 = p * panel_w
+
+    bx = jax.lax.broadcasted_iota(jnp.int32, (hb, pwb), 1) * block + col0
+
+    best_ssd = jnp.full((hb, pwb), jnp.inf, dtype=jnp.float32)
+    best_idx = jnp.zeros((hb, pwb), dtype=jnp.int32)
+
+    for dy in range(-sr, sr + 1):
+        for dx in range(-sr, sr + 1):
+            ref_win = ref_ref[dx + sr, pl.ds(sr + dy, Ht), :]
+            diff = cur - ref_win
+            d2 = diff * diff
+            rows = jax.lax.dot(
+                rmat, d2, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            ssd = jax.lax.dot(
+                rows, cmat, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            valid_y = vy_ref[dy + sr, :, :] > 0  # [hb, 1], band-global rows
+            valid_x = (bx + dx >= 0) & (bx + dx + block <= W)
+            ssd = jnp.where(valid_y & valid_x, ssd, jnp.inf)
+            idx = (dy + sr) * total + (dx + sr)
+            take = ssd < best_ssd  # strict: first in scan order wins ties
+            best_ssd = jnp.where(take, ssd, best_ssd)
+            best_idx = jnp.where(take, idx, best_idx)
+
+    out_ref[0, :, :] = best_idx
+
+
+@partial(jax.jit, static_argnames=("total_h", "search_range", "block", "interpret"))
+def motion_search_tile_pallas(ref_ext, cur_tile, tile_row0, total_h: int,
+                              search_range: int = 4, block: int = 8,
+                              interpret: bool = False):
+    """Pallas ME for one halo-extended row band under shard_map.
+
+    Drop-in for :func:`ivclab_tpu.parallel.halo.motion_search_tile`
+    (bit-identical packed indices): ``ref_ext`` is ``[Ht + 2sr, W]`` with
+    the ppermute-exchanged halos, ``tile_row0`` the band's global first
+    row (traced scalar — feeds the precomputed y-validity input).
+    """
+    sr = search_range
+    ref_ext = jnp.asarray(ref_ext, dtype=jnp.float32)
+    cur = jnp.asarray(cur_tile, dtype=jnp.float32)
+    Ht, W = cur.shape
+    total = 2 * sr + 1
+
+    panel_w = _pick_panel_w(Ht, W, sr)
+    n_panels = W // panel_w
+    hb, pwb = Ht // block, panel_w // block
+
+    # rows already carry the +/-sr halo; pad to the sublane multiple and
+    # stack the column shifts (lane offsets must be static 128-multiples)
+    Htp = -(-(Ht + 2 * sr) // 8) * 8
+    ref_pad = jnp.pad(ref_ext, ((0, Htp - Ht - 2 * sr), (sr, sr)))
+    ref_shifts = jnp.stack([ref_pad[:, s : s + W] for s in range(total)])
+
+    # y-validity per (dy, block row) in GLOBAL rows — row0 is traced, so
+    # this mask is an input, not a kernel constant. Trailing singleton
+    # keeps the in-kernel load 2-D (Mosaic-friendly broadcast over cols).
+    by_global = jnp.arange(hb, dtype=jnp.int32) * block + jnp.asarray(
+        tile_row0, dtype=jnp.int32
+    )
+    dys = jnp.arange(-sr, sr + 1, dtype=jnp.int32)
+    vy = (
+        (by_global[None, :] + dys[:, None] >= 0)
+        & (by_global[None, :] + dys[:, None] + block <= total_h)
+    ).astype(jnp.int32)[:, :, None]
+
+    rmat, cmat = _block_sum_matrices(Ht, panel_w, block)
+
+    kernel = partial(_me_tile_kernel, sr=sr, block=block, panel_w=panel_w, Ht=Ht, W=W)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_panels,),
+        in_specs=[
+            pl.BlockSpec((total, Htp, panel_w), lambda p: (0, 0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ht, panel_w), lambda p: (0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((total, hb, 1), lambda p: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, Ht), lambda p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((panel_w, pwb), lambda p: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hb, pwb), lambda p: (p, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_panels, hb, pwb), jnp.int32),
+        interpret=interpret,
+    )(ref_shifts, cur, vy, jnp.asarray(rmat), jnp.asarray(cmat))
+    return out.transpose(1, 0, 2).reshape(hb, n_panels * pwb)
+
+
 @partial(jax.jit, static_argnames=("search_range", "block", "interpret"))
 def motion_search_pallas(ref_image, image, search_range: int = 4, block: int = 8, interpret: bool = False):
     """Pallas full-search ME; drop-in for :func:`ops.motion.motion_search`."""

@@ -35,6 +35,40 @@ from ivclab_tpu.parallel.halo import (
 )
 
 
+def _resolve_me_backend(me_backend, band_h: int, width: int, sr: int) -> str:
+    """Pick the tile motion-search implementation for a sharded build.
+
+    ``None`` auto-selects: the halo-aware Pallas VMEM kernel on TPU when
+    the band's working set fits (``ops.motion.pallas_tile_vmem_fits``,
+    the same rule the single-device dispatcher uses), else the XLA
+    candidate scan. Explicit values: ``"pallas"``, ``"pallas-interpret"``
+    (CPU-testable), ``"scan"``. All are bit-identical.
+    """
+    if me_backend is not None:
+        if me_backend not in ("pallas", "pallas-interpret", "scan"):
+            raise ValueError(f"unknown me_backend {me_backend!r}")
+        return me_backend
+    from ivclab_tpu.ops.motion import pallas_tile_vmem_fits
+
+    if jax.default_backend() == "tpu" and pallas_tile_vmem_fits(band_h, width, sr):
+        return "pallas"
+    return "scan"
+
+
+def _tile_me(me_backend: str, total_h: int, sr: int):
+    """Tile ME callable ``(ref_ext, cur, row0) -> mv`` for a backend."""
+    if me_backend == "scan":
+        return lambda ref_ext, cur, row0: motion_search_tile(
+            ref_ext, cur, row0, total_h, sr
+        )
+    from ivclab_tpu.ops.motion_pallas import motion_search_tile_pallas
+
+    interpret = me_backend == "pallas-interpret"
+    return lambda ref_ext, cur, row0: motion_search_tile_pallas(
+        ref_ext, cur, row0, total_h, sr, interpret=interpret
+    )
+
+
 def _band_symbol_bits(plane, inv_qt, qt, enc_lens, lower_bound: int, eob: int):
     """Transform+quantize one row band, return (coded bits, reconstruction).
 
@@ -66,6 +100,7 @@ def build_sharded_video_encoder(
     search_range: int = 4,
     residual_code=None,
     mv_code=None,
+    me_backend: str | None = None,
 ):
     """Compile a GOP+tile-sharded video encode step over ``mesh``.
 
@@ -94,6 +129,7 @@ def build_sharded_video_encoder(
         else jnp.full(((2 * sr + 1) ** 2,), 7, dtype=jnp.int32)
     )
     eob = 4000
+    tile_me = _tile_me(_resolve_me_backend(me_backend, band_h, width, sr), H, sr)
 
     def shard_fn(frames_local):
         """frames_local: [gop_len, band_h, W] — one GOP's row band."""
@@ -109,7 +145,7 @@ def build_sharded_video_encoder(
 
             def inter():
                 ref_ext = exchange_row_halo(recon_prev, sr, "tile")
-                mv = motion_search_tile(ref_ext, y, row0, H, sr)
+                mv = tile_me(ref_ext, y, row0)
                 mv_bits = jnp.sum(mv_lens[jnp.clip(mv, 0, mv_lens.shape[0] - 1)])
                 pred = motion_compensate_tile(ref_ext, mv, sr)
                 residual = y - pred
@@ -187,6 +223,7 @@ def build_sharded_video_codec(
     cap: int,
     group_words: int,
     block_words: int,
+    me_backend: str | None = None,
 ):
     """Compile a GOP+tile-sharded encode **and entropy-pack** step.
 
@@ -241,6 +278,7 @@ def build_sharded_video_codec(
     esc_code, esc_len = codec._esc_code, codec._esc_len
     lower = jnp.int32(code.lower_bound)
     raw_bits = code.raw_bits
+    tile_me = _tile_me(_resolve_me_backend(me_backend, band_h, width, sr), H, sr)
 
     def symbolize(plane):
         x = plane.reshape(band_h // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 64)
@@ -268,7 +306,7 @@ def build_sharded_video_codec(
 
             def inter():
                 ref_ext = exchange_row_halo(recon_prev, sr, "tile")
-                mv = motion_search_tile(ref_ext, y, row0, H, sr)
+                mv = tile_me(ref_ext, y, row0)
                 pred = motion_compensate_tile_dense(ref_ext, mv, sr)
                 qsym, rrec = symbolize(y - pred)
                 return qsym, mv, pred + rrec

@@ -140,6 +140,46 @@ def test_sharded_codec_bitstream_matches_fused(foreman):
         assert np.abs(np.asarray(recons) - np.asarray(out.recons[sl])).max() < 1e-2
 
 
+def test_sharded_codec_pallas_me_bit_identical(foreman):
+    """The sharded path dispatches the halo-aware Pallas ME kernel
+    (VERDICT r3 #4): with me_backend='pallas-interpret' the full sharded
+    encode+pack emits streams bit-identical to the XLA-scan build."""
+    from ivclab_tpu.parallel import build_sharded_video_codec
+    from ivclab_tpu.parallel.video import _resolve_me_backend
+
+    gop_len, n_tile = 2, 4
+    mesh = make_mesh(n_gop=2, n_tile=n_tile)
+    # W = 256 is 128-aligned (the Pallas lane-panel requirement)
+    y = foreman[:4, :256, :256].astype(np.float32).mean(axis=-1)
+    T, H, W = y.shape
+    band_h = H // n_tile
+    codec = FusedVideoCodec(quantization_scale=1.0).train(y[:2])
+    qs, _, _, _ = codec.encode_gop(jnp.asarray(y))
+    codec.pack_gop(qs)
+    cap, bw, gw = codec._buckets
+
+    kw = dict(cap=cap, group_words=gw, block_words=bw)
+    step_scan = build_sharded_video_codec(
+        mesh, codec, gop_len, band_h, W, me_backend="scan", **kw
+    )
+    step_pal = build_sharded_video_codec(
+        mesh, codec, gop_len, band_h, W, me_backend="pallas-interpret", **kw
+    )
+    frames = shard_frames(y, mesh)
+    a = step_scan(frames)
+    b = step_pal(frames)
+    assert np.array_equal(np.asarray(a.mvs), np.asarray(b.mvs))
+    assert np.array_equal(np.asarray(a.words), np.asarray(b.words))
+    assert np.array_equal(np.asarray(a.offsets), np.asarray(b.offsets))
+    assert np.array_equal(np.asarray(a.counts), np.asarray(b.counts))
+    assert np.array_equal(np.asarray(a.recons), np.asarray(b.recons))
+
+    # the auto rule resolves to the scan on CPU and validates its inputs
+    assert _resolve_me_backend(None, band_h, W, 4) == "scan"
+    with pytest.raises(ValueError):
+        _resolve_me_backend("bogus", band_h, W, 4)
+
+
 def test_fused_video_codec_roundtrip(foreman):
     y = foreman[:4].astype(np.float32).mean(axis=-1)
     codec = FusedVideoCodec(quantization_scale=1.0).train(y[:2])
