@@ -180,11 +180,12 @@ def _map_gop_hot(qsyms, hot_vals, hot_fused, esc_code, esc_len, lower_bound,
     return codes, lens, valid, bw_max, gw_max, cap_ok
 
 
-@partial(jax.jit, static_argnames=("H", "W", "cap", "lw", "sr", "raw_bits"))
+@partial(jax.jit, static_argnames=("H", "W", "cap", "lw", "sr", "raw_bits", "max_len"))
 def _decode_gop_hot(words, block_offsets, block_counts, mvs,
                     lj, first_code, group_offset, alpha_of_rank, min_len,
                     esc_rank, lower_bound, qt,
-                    H: int, W: int, cap: int, lw: int, sr: int, raw_bits: int):
+                    H: int, W: int, cap: int, lw: int, sr: int, raw_bits: int,
+                    max_len: int = 16):
     """Entropy decode + reconstruct: one flat gather-free pass."""
     T, G, GW = words.shape
     N = block_counts.shape[1]
@@ -196,7 +197,7 @@ def _decode_gop_hot(words, block_offsets, block_counts, mvs,
     local = locals_from_groups(words.reshape(T * G, GW), offs, PACK_GROUP, lw)
     sym_idx = decode_blocks_hot(
         local, cnts, lj, first_code, group_offset, alpha_of_rank,
-        min_len, esc_rank, cap, raw_bits,
+        min_len, esc_rank, cap, raw_bits, max_len,
     )
     syms = jnp.where(
         jnp.arange(cap)[None, :] < cnts[:, None],
@@ -245,11 +246,13 @@ def _map_stream_hot(flat_syms, hot_vals, hot_fused, esc_code, esc_len,
     return codes, lens, counts, bw_max, gw_max
 
 
-@partial(jax.jit, static_argnames=("cap", "lw", "raw_bits"))
+@partial(jax.jit, static_argnames=("cap", "lw", "raw_bits", "max_len"))
 def _decode_stream_hot(words, offsets, counts, lj, fc, go, ar, min_len, esc_rank,
-                       cap: int, lw: int, raw_bits: int):
+                       cap: int, lw: int, raw_bits: int, max_len: int = 16):
     local = locals_from_groups(words, offsets, PACK_GROUP, lw)
-    return decode_blocks_hot(local, counts, lj, fc, go, ar, min_len, esc_rank, cap, raw_bits)
+    return decode_blocks_hot(
+        local, counts, lj, fc, go, ar, min_len, esc_rank, cap, raw_bits, max_len
+    )
 
 
 class FusedVideoCodec:
@@ -403,6 +406,7 @@ class FusedVideoCodec:
             self._dec_lj, self._dec_fc, self._dec_go, self._dec_ar,
             self._dec_minlen, self._dec_escrank, jnp.int32(code.lower_bound),
             self.qt, H, W, cap, block_words, self.sr, code.raw_bits,
+            code.code.max_len,
         )
 
     # ------------------------------------------------------------ container
@@ -503,7 +507,7 @@ class FusedVideoCodec:
             jnp.asarray(mvc.code.group_offset.astype(np.int32)),
             jnp.asarray(mvc.alpha_of_rank),
             jnp.int32(mvc.code.min_len), jnp.int32(mvc.esc_rank),
-            64, mv_lw, mvc.raw_bits,
+            64, mv_lw, mvc.raw_bits, mvc.code.max_len,
         )
         hb, wb = H // 8, W // 8
         M = (T - 1) * hb * wb

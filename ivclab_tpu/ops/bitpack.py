@@ -260,30 +260,40 @@ def locals_from_groups(group_words, block_bit_offsets, group_size: int, local_wo
     return local
 
 
-@partial(jax.jit, static_argnames=("max_syms", "raw_bits"))
+@partial(jax.jit, static_argnames=("max_syms", "raw_bits", "max_len"))
 def decode_blocks_hot(local, block_sym_counts, lj, first_code, group_offset,
-                      alpha_of_rank, min_len, esc_rank, max_syms: int, raw_bits: int):
+                      alpha_of_rank, min_len, esc_rank, max_syms: int, raw_bits: int,
+                      max_len: int | None = None):
     """Gather-free canonical decode of hot+escape streams.
 
     ``local``: [B, LW] phase-aligned block streams (see
     :func:`locals_from_groups`). Per symbol, everything is dense VPU math:
-    the code length comes from <=31 boundary compares
-    (canonical left-justified layout), first_code/group_offset from 17-wide
-    select reductions, the hot symbol value from a <=128-wide select
-    reduction over ``alpha_of_rank``, and escapes read their raw payload
-    arithmetically from the window. Returns [B, max_syms] alphabet indices.
+    the code length comes from <= max_len-1 boundary compares
+    (canonical left-justified layout), first_code/group_offset from
+    max_len+1-wide select reductions, the hot symbol value from a
+    <=128-wide select reduction over ``alpha_of_rank``, and escapes read
+    their raw payload arithmetically from the window. Returns
+    [B, max_syms] alphabet indices.
+
+    ``max_len`` (static) is the code's real maximum length: boundary
+    entries past it are saturated sentinels (0xFFFFFFFF, never satisfied)
+    and lengths past it can never decode, so slicing every per-symbol
+    [B, width] select to it is value-identical — and hot/escape codes cap
+    at 16 bits, halving the decode loop's dominant materialized traffic.
     """
     from ivclab_tpu.entropy.codebook import MAX_CODE_LEN
 
+    if max_len is None:
+        max_len = MAX_CODE_LEN
     local = _u32(local)
     counts = jnp.asarray(block_sym_counts, dtype=jnp.int32)
-    lj = _u32(lj)
-    fc = _u32(first_code)
-    go = jnp.asarray(group_offset, dtype=jnp.int32)
+    lj = _u32(lj)[: max_len - 1] if max_len > 1 else _u32(lj)[:1]
+    fc = _u32(first_code)[: max_len + 1]
+    go = jnp.asarray(group_offset, dtype=jnp.int32)[: max_len + 1]
     ar = jnp.asarray(alpha_of_rank, dtype=jnp.int32)
     B, LW = local.shape
     n_ranks = ar.shape[0]
-    lsel = jnp.arange(MAX_CODE_LEN + 1, dtype=jnp.int32)
+    lsel = jnp.arange(max_len + 1, dtype=jnp.int32)
     rsel = jnp.arange(n_ranks, dtype=jnp.int32)
 
     max_needed = jnp.max(counts)
@@ -291,7 +301,7 @@ def decode_blocks_hot(local, block_sym_counts, lj, first_code, group_offset,
     def body(carry):
         i, local, out = carry
         win = local[:, 0]
-        past = (win[:, None] > lj[None, : MAX_CODE_LEN - 1]).astype(jnp.int32)
+        past = (win[:, None] > lj[None, :]).astype(jnp.int32)
         L = min_len + jnp.sum(past, axis=1)
         eqL = L[:, None] == lsel[None, :]
         fcv = jnp.sum(jnp.where(eqL, fc[None, :], _u32(0)), axis=1)
