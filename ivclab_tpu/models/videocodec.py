@@ -100,6 +100,12 @@ def _pack_section(buf, valid, code):
     Returns ``(GroupedSection, exact payload bits)``; the section's words
     are word-aligned per group with the parallel-decode sidecar, so the
     container decoder runs ``decode_blocks_device`` over all blocks at once.
+
+    The device pack buffer is sized for the worst case (GROUP_WORDS=1600
+    words/group) but typical groups use <100; the word fetch is sliced to
+    the measured maximum on device first — device->host over the TPU
+    tunnel runs at single-digit MB/s, so fetching the empty tail dominated
+    the whole adaptive container encode.
     """
     from ivclab_tpu.models.intracodec import _pad_blocks
     from ivclab_tpu.ops.transform import GROUP_WORDS, PACK_GROUP, pack_symbols_grouped
@@ -109,7 +115,24 @@ def _pack_section(buf, valid, code):
     gw, gb, boffs, total = pack_symbols_grouped(
         buf, valid, jnp.asarray(code.codes), jnp.asarray(code.lengths), code.lower_bound
     )
-    section = GroupedSection.from_device(gw, gb, boffs, valid, PACK_GROUP, GROUP_WORDS)
+    gb_np = np.asarray(gb)
+    G = gb_np.shape[0]
+    wmax = max(int((int(gb_np.max(initial=0)) + 31) // 32), 1)
+    wmax = -(-wmax // 8) * 8  # keep the lane-dim slice aligned
+    wmax = min(wmax, GROUP_WORDS)
+    words = np.asarray(gw[:, :wmax])
+    # rebase the packer's global bit offsets (GROUP_WORDS stride) to
+    # in-group offsets; the section's own stride is the sliced width
+    base = np.arange(G, dtype=np.int64) * (GROUP_WORDS * 32)
+    in_group = np.asarray(boffs).astype(np.int64) - np.repeat(base, PACK_GROUP)
+    section = GroupedSection(
+        words=words,
+        group_word_counts=((gb_np.astype(np.int64) + 31) // 32).astype(np.uint32),
+        block_offsets=in_group.astype(np.uint16),
+        block_counts=np.asarray(valid).astype(np.uint8),
+        group_size=PACK_GROUP,
+        words_per_group=wmax,
+    )
     return section, int(total)
 
 
@@ -397,8 +420,7 @@ class VideoCodec:
                 "serialize via FusedVideoCodec.encode_to_container)"
             )
         from ivclab_tpu.entropy.stats import smooth_pmf
-        from ivclab_tpu.ops.transform import symbol_histogram, forward_symbolize
-        from ivclab_tpu.ops.transform import inverse_reconstruct
+        from ivclab_tpu.ops.transform import symbol_histogram
         from ivclab_tpu.runtime.container import AdaptiveVideoPayload, Codebook
 
         frames_y = np.asarray(frames_y, dtype=np.float32)
@@ -415,43 +437,92 @@ class VideoCodec:
             self._motion_trained = True
         mv_code = self.motion_huffman.code
 
-        recon_prev = None
-        mvs = []
-        frame_sections = []
-        frame_bits = np.zeros(T, dtype=np.uint64)
+        # phase 1: dispatch every frame's device work up front (the same
+        # pipelined structure as encode_decode_sequence_pipelined — the
+        # closed-loop recon chain stays on device; ME/MC/transform/histogram
+        # for frame t+1 execute while the host packs frame t). Ops and
+        # operands are identical to the serial facade, so the bytes are too.
+        y_dev = jnp.asarray(frames_y)
+        outs = []
+        recon_prev = jnp.zeros((H, W), jnp.float32)
         for t in range(T):
-            y = jnp.asarray(frames_y[t])
-            if t == 0:
-                pred = jnp.zeros((H, W), jnp.float32)
-            else:
-                mv = motion_search(recon_prev, y, sr)
-                mvs.append(np.asarray(mv))
-                pred = motion_compensate(recon_prev, mv, sr)
-            plane = y - pred
-            buf, valid, qsym = forward_symbolize(plane[:, :, None], inv_qt, eob)
-            # per-frame codebook: same device ops on the same counts as the
-            # facade's _train_from_buffers -> identical canonical code
-            mn, mx = _sym_min_max(buf, valid)
-            lo, hi = bucket_bounds(int(mn), int(mx))
-            hist = symbol_histogram(buf, valid, lo, hi)
+            out = _pframe_device_step(
+                y_dev[t], recon_prev, jnp.int32(t), inv_qt, qt, sr, eob
+            )
+            recon_prev = out[6]
+            outs.append(out)
+
+        # phase 2a: ONE batched fetch for every frame's training stats + MVs
+        # (each tunnel round trip is ~26 ms of pure latency; per-frame
+        # fetches made the encoder latency-bound at ~5 RTs/frame)
+        from ivclab_tpu.models.intracodec import _pad_blocks
+        from ivclab_tpu.ops.transform import pack_symbols_grouped
+
+        stats = jax.device_get([(o[2], o[3], o[4], o[5]) for o in outs])
+
+        # phase 2b: per-frame codebook builds (host) + pack dispatches (async)
+        pend = []
+        for t, ((buf, valid, *_), (mn_i, mx_i, hist_np, mv_np)) in enumerate(
+            zip(outs, stats)
+        ):
+            lo, hi = bucket_bounds(int(mn_i), int(mx_i))
+            if _HIST_LO <= lo and hi <= _HIST_HI:
+                hist = jnp.asarray(hist_np[lo - _HIST_LO : hi - _HIST_LO])
+            else:  # pathological bounds: fall back to a direct histogram
+                hist = symbol_histogram(buf, valid, lo, hi)
             pmf = smooth_pmf(hist.astype(jnp.float32) / jnp.sum(hist))
             coder = HuffmanCoder(lower_bound=lo).train(np.asarray(pmf, dtype=np.float64))
             code = coder.code
-            section, rbits = _pack_section(buf, valid, code)
-            frame_sections.append((Codebook(lo, np.asarray(code.lengths, dtype=np.uint8)), section))
+            bufp, validp, _ = _pad_blocks(buf, valid)
+            gw, gb, boffs, _ = pack_symbols_grouped(
+                bufp, validp, jnp.asarray(code.codes), jnp.asarray(code.lengths), lo
+            )
+            pend.append((code, lo, mv_np, gw, gb, boffs, validp))
 
-            bits = int(rbits)
+        # phase 2c: two batched fetches (sidecars, then width-sliced words:
+        # the 1600-word group buffers are mostly empty tail) -> sections
+        from ivclab_tpu.ops.transform import GROUP_WORDS, PACK_GROUP
+        from ivclab_tpu.runtime.container import GroupedSection
+
+        metas = jax.device_get([(gb, boffs, validp) for _, _, _, _, gb, boffs, validp in pend])
+        wmaxes = []
+        sliced = []
+        for (code, lo, mv_np, gw, gb, boffs, validp), (gb_np, _, _) in zip(pend, metas):
+            wmax = max(int((int(gb_np.max(initial=0)) + 31) // 32), 1)
+            wmax = min(-(-wmax // 8) * 8, GROUP_WORDS)
+            wmaxes.append(wmax)
+            sliced.append(gw[:, :wmax])
+        words_all = jax.device_get(sliced)
+
+        mvs = []
+        frame_sections = []
+        frame_bits = np.zeros(T, dtype=np.uint64)
+        for t, ((code, lo, mv_np, _, _, _, _), (gb_np, boffs_np, valid_np),
+                words_np, wmax) in enumerate(zip(pend, metas, words_all, wmaxes)):
+            G = gb_np.shape[0]
+            base = np.arange(G, dtype=np.int64) * (GROUP_WORDS * 32)
+            in_group = boffs_np.astype(np.int64) - np.repeat(base, PACK_GROUP)
+            section = GroupedSection(
+                words=np.asarray(words_np),
+                group_word_counts=((gb_np.astype(np.int64) + 31) // 32).astype(np.uint32),
+                block_offsets=in_group.astype(np.uint16),
+                block_counts=valid_np.astype(np.uint8),
+                group_size=PACK_GROUP,
+                words_per_group=wmax,
+            )
+            frame_sections.append(
+                (Codebook(lo, np.asarray(code.lengths, dtype=np.uint8)), section)
+            )
+            bits = int(gb_np.astype(np.int64).sum())
             if t > 0:
+                mvs.append(mv_np)
                 # facade rate parity (_code_residual_plane/_code_motion):
                 # MV code lengths + the adaptive policy's codebook charge
-                bits += int(np.sum(np.asarray(mv_code.lengths)[np.asarray(mvs[-1]).reshape(-1)]))
+                bits += int(np.sum(np.asarray(mv_code.lengths)[mv_np.reshape(-1)]))
                 if self.codebook_policy == "adaptive":
                     bits += 8 * ((8 + code.n) + 12)
             frame_bits[t] = bits
-
-            rrec = inverse_reconstruct(qsym, qt, (H, W, 1))[:, :, 0]
-            recon_prev = pred + rrec
-            self.decoder_recon = np.asarray(recon_prev)
+        self.decoder_recon = outs[-1][6]  # fetched lazily if the caller reads it
 
         mv_flat = (
             np.stack(mvs).reshape(-1).astype(np.int32)
