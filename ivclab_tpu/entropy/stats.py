@@ -12,7 +12,6 @@ quirk (SURVEY.md component #10).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -26,8 +26,6 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -52,7 +50,6 @@ from ivclab_tpu.ops.zerorun import (
     zerorun_decode_blocks,
     zerorun_decode_stream,
 )
-from ivclab_tpu.runtime import native
 
 _BOUND_BUCKET = 64
 _SAFETY_MARGIN = 20  # matches ivclab/image/intracodec.py:163

@@ -606,7 +606,7 @@ class VideoCodec:
                 recon = pred + rrec
             recon_prev = recon
             recons.append(recon)
-        return np.stack([np.asarray(r) for r in recons])
+        return np.stack(jax.device_get(recons))  # one batched fetch
 
     def encode_decode_sequence_checkpointed(self, frames, gop_size: int, checkpointer):
         """GOP-granular fault-tolerant encode (SURVEY.md §5 'Failure

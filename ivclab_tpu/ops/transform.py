@@ -27,7 +27,7 @@ from ivclab_tpu.ops.bitpack import (
     symbol_bit_layout,
 )
 from ivclab_tpu.ops.dct import dct2_fused, idct2_fused
-from ivclab_tpu.ops.zerorun import BLOCK_CAP, zerorun_encode_blocks
+from ivclab_tpu.ops.zerorun import zerorun_encode_blocks
 from ivclab_tpu.entropy.stats import histogram_int32
 
 

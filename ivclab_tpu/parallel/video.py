@@ -17,12 +17,10 @@ dry-runs on an 8-device virtual mesh and the scaling benchmark times.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ivclab_tpu.ops.dct import dct2_fused, idct2_fused

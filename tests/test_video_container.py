@@ -173,6 +173,21 @@ def test_adaptive_container_rate_matches_facade(rgb_video):
         assert [int(b) for b in p.frame_bits] == fac_bits
 
 
+def test_adaptive_container_rejects_corruption(rgb_video):
+    from ivclab_tpu.models.videocodec import VideoCodec
+    from ivclab_tpu.ops.color import rgb2ycbcr
+    from ivclab_tpu.runtime.container import AdaptiveVideoPayload
+
+    y = np.asarray(rgb2ycbcr(rgb_video.astype(np.float32)))[..., 0]
+    blob = bytearray(
+        VideoCodec(quantization_scale=1.0, codebook_policy="adaptive")
+        .encode_to_container(y)
+    )
+    blob[0] ^= 0xFF  # magic
+    with pytest.raises(ValueError):
+        AdaptiveVideoPayload.from_bytes(bytes(blob))
+
+
 def test_adaptive_container_rejects_first_p_frame_policy(rgb_video):
     from ivclab_tpu.models.videocodec import VideoCodec
 
