@@ -99,10 +99,17 @@ def load_reference():
     sig_pkg.DiscreteCosineTransform = dct.DiscreteCosineTransform
     intracodec = _load("ivclab.image.intracodec", iv / "image" / "intracodec.py")
 
+    # yuv420codec pulls matplotlib + signal helpers at module level
+    for name in ("downsample", "upsample", "interpolation_upsample", "lowpass_filter"):
+        setattr(sig_pkg, name, getattr(signal, name))
+    utl_pkg.metrics = metrics
+    sys.modules["ivclab.utils.metrics"] = metrics
+    yuv420 = _load("ivclab.image.yuv420codec", iv / "image" / "yuv420codec.py")
+
     _cache = dict(
         color=color, shape=shape, metrics=metrics, dct=dct, zigzag=zigzag,
         signal=signal, probability=probability, entropy=entropy,
         zerorun=zerorun, patchquant=patchquant, predictive=predictive,
-        motion=motion, intracodec=intracodec,
+        motion=motion, intracodec=intracodec, yuv420=yuv420,
     )
     return _cache

@@ -281,6 +281,45 @@ def test_rd_curve_matches_reference_pipeline():
         assert abs(bpp - bpp_ref) / bpp_ref < 0.02, (q, bpp, bpp_ref)
 
 
+def test_signal_helpers_match_reference(rng_mod):
+    from ivclab_tpu.ops.resample import (
+        downsample, interpolation_upsample, lowpass_filter, upsample,
+    )
+
+    x = (rng_mod.random((32, 40)) * 255).astype(np.float64)
+    np.testing.assert_allclose(
+        np.asarray(downsample(x)), ref["signal"].downsample(x), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(upsample(x)), ref["signal"].upsample(x), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(interpolation_upsample(x, 2)),
+        ref["signal"].interpolation_upsample(x, 2),
+        atol=5e-3,
+    )
+    k = np.ones((3, 3)) / 9
+    np.testing.assert_allclose(
+        np.asarray(lowpass_filter(x, k)), ref["signal"].lowpass_filter(x, k), atol=1e-4
+    )
+
+
+def test_yuv420_matches_reference():
+    """Full 4:2:0 chroma pipeline (decimate -> pad -> FFT resample -> crop)
+    against the reference's own yuv420compression, loaded by file path.
+    Both quantize to uint8; a ~1-per-million fraction of pixels lands on
+    the other side of a rounding boundary (|diff| == 2 max)."""
+    from ivclab_tpu.models.yuv420 import yuv420compression
+    from ivclab_tpu.utils import fixtures
+
+    img = fixtures.image("sail")
+    ours = np.asarray(yuv420compression(img)).astype(np.float64)
+    theirs = np.asarray(ref["yuv420"].yuv420compression(img)).astype(np.float64)
+    diff = np.abs(ours - theirs)
+    assert diff.max() <= 2.0
+    assert (diff > 1).mean() < 1e-4
+
+
 def test_metrics_match_reference(rng_mod):
     from ivclab_tpu.utils.metrics import calc_mse, calc_psnr
 
