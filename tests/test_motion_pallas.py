@@ -122,3 +122,67 @@ def test_tpu_bit_identity_subprocess():
         timeout=600, env=env,
     )
     assert "TPU_PARITY_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_tile_kernel_interpret_parity_with_halos(rng):
+    """Halo-aware tile kernel (interpret) == scan tile search, all bands."""
+    from ivclab_tpu.ops.motion_pallas import motion_search_tile_pallas
+    from ivclab_tpu.parallel.halo import motion_search_tile
+
+    import jax.numpy as jnp
+
+    H, W, sr, n_tile = 64, 128, 4, 4
+    band = H // n_tile
+    ref = (rng.random((H, W)) * 255).astype(np.float32)
+    cur = (np.roll(ref, (2, -3), (0, 1)) + rng.normal(0, 0.5, (H, W))).astype(np.float32)
+    for t in range(n_tile):
+        lo = t * band
+        ext = np.zeros((band + 2 * sr, W), np.float32)
+        ext[sr : sr + band] = ref[lo : lo + band]
+        if t > 0:
+            ext[:sr] = ref[lo - sr : lo]
+        if t < n_tile - 1:
+            ext[sr + band :] = ref[lo + band : lo + band + sr]
+        a = np.asarray(motion_search_tile(
+            jnp.asarray(ext), jnp.asarray(cur[lo : lo + band]), jnp.int32(lo), H, sr
+        ))
+        b = np.asarray(motion_search_tile_pallas(
+            jnp.asarray(ext), jnp.asarray(cur[lo : lo + band]), jnp.int32(lo), H, sr,
+            interpret=True,
+        ))
+        assert np.array_equal(a, b), t
+
+
+@pytest.mark.skipif(
+    not os.environ.get("IVC_TPU_TESTS"),
+    reason="needs real TPU (suite forces CPU); set IVC_TPU_TESTS=1",
+)
+def test_tpu_tile_kernel_bit_identity_subprocess():
+    """Compiled halo-aware tile kernel vs the tile scan on a real chip,
+    at the 1080p band configuration the sharded path dispatches."""
+    code = (
+        "import numpy as np, jax, jax.numpy as jnp\n"
+        "from ivclab_tpu.parallel.halo import motion_search_tile\n"
+        "from ivclab_tpu.ops.motion_pallas import motion_search_tile_pallas\n"
+        "assert jax.default_backend() == 'tpu', jax.default_backend()\n"
+        "rng = np.random.default_rng(7)\n"
+        "H, W, sr, band = 1088, 1920, 4, 136\n"
+        "ref = (rng.random((H, W)) * 255).astype(np.float32)\n"
+        "cur = (np.roll(ref, (3, -2), (0, 1)) + rng.normal(0, .5, (H, W))).astype(np.float32)\n"
+        "for t in (0, 3, 7):\n"
+        "    lo = t * band\n"
+        "    ext = np.zeros((band + 2*sr, W), np.float32)\n"
+        "    ext[sr:sr+band] = ref[lo:lo+band]\n"
+        "    if t > 0: ext[:sr] = ref[lo-sr:lo]\n"
+        "    if t < 7: ext[sr+band:] = ref[lo+band:lo+band+sr]\n"
+        "    a = np.asarray(motion_search_tile(jnp.asarray(ext), jnp.asarray(cur[lo:lo+band]), jnp.int32(lo), H, sr))\n"
+        "    b = np.asarray(motion_search_tile_pallas(jnp.asarray(ext), jnp.asarray(cur[lo:lo+band]), jnp.int32(lo), H, sr))\n"
+        "    assert np.array_equal(a, b), t\n"
+        "print('TPU_TILE_PARITY_OK')\n"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=600, env=env,
+    )
+    assert "TPU_TILE_PARITY_OK" in out.stdout, out.stderr[-2000:]
