@@ -118,8 +118,10 @@ def main():
     # is this content's q=1.0 operating point (reference-parity transform)
     assert psnr_y > 28.0, f"PSNR-Y collapsed: {psnr_y:.2f} dB"
 
-    # one untimed loop to warm allocator/tunnel state (the first timed
-    # repeat otherwise reads ~2x slow and only the median hides it)
+    # one untimed loop to warm allocator/tunnel state; the first timed
+    # repeat still reads ~2x slow (tunnel-side effect — persists through
+    # buffer-drain experiments), which is why every repeat is reported
+    # and the median is the headline
     for _ in range(iters):
         recons, *_ = roundtrip()
     recons.block_until_ready()
