@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -162,12 +163,18 @@ def _run_sweep(mode: str, counts=(1, 2, 4, 8)):
     (observed: unpinned tile-axis throughput was flat at ~2 Mpix/s for
     all N because each point was the same 2 cores)."""
     n_cores = os.cpu_count() or 1
+    have_taskset = shutil.which("taskset") is not None
+    if not have_taskset:
+        sys.stderr.write(
+            "warning: taskset not found; children run unpinned — efficiency "
+            "numbers will overstate the 1-device baseline's core budget\n"
+        )
     results = []
     for n in counts:
         cores = f"0-{min(n, n_cores) - 1}" if min(n, n_cores) > 1 else "0"
+        pin = ["taskset", "-c", cores] if have_taskset else []
         proc = subprocess.run(
-            ["taskset", "-c", cores, sys.executable, __file__,
-             f"--child-{mode}", str(n)],
+            pin + [sys.executable, __file__, f"--child-{mode}", str(n)],
             capture_output=True, text=True, timeout=1200,
         )
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""

@@ -59,7 +59,7 @@ def cmd_encode_image(args):
         json.dumps(
             {
                 "container_bytes": len(blob),
-                "payload_bpp": round(codec.num_symbols and _payload_bits(blob) / (H * W), 4),
+                "payload_bpp": round(_payload_bits(blob) / (H * W), 4),
             }
         )
     )

@@ -49,7 +49,7 @@ def smooth_pmf(pmf, epsilon: float = 1e-9):
     return p / jnp.sum(p)
 
 
-def calc_entropy(pmf, eps: float = 1e-8):
+def calc_entropy(pmf):
     """Shannon entropy ``-sum p log2 p`` over nonzero bins."""
     p = jnp.asarray(pmf, dtype=jnp.float32)
     logp = jnp.log2(jnp.where(p > 0, p, 1.0))

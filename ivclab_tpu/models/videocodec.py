@@ -109,37 +109,29 @@ def _pack_section(buf, valid, code):
     """
     from ivclab_tpu.models.intracodec import _pad_blocks
     from ivclab_tpu.ops.transform import GROUP_WORDS, PACK_GROUP, pack_symbols_grouped
-    from ivclab_tpu.runtime.container import GroupedSection
+    from ivclab_tpu.runtime.container import GroupedSection, packer_wmax
 
     buf, valid, _ = _pad_blocks(buf, valid)
     gw, gb, boffs, total = pack_symbols_grouped(
         buf, valid, jnp.asarray(code.codes), jnp.asarray(code.lengths), code.lower_bound
     )
     gb_np = np.asarray(gb)
-    G = gb_np.shape[0]
-    wmax = max(int((int(gb_np.max(initial=0)) + 31) // 32), 1)
-    wmax = -(-wmax // 8) * 8  # keep the lane-dim slice aligned
-    wmax = min(wmax, GROUP_WORDS)
-    words = np.asarray(gw[:, :wmax])
-    # rebase the packer's global bit offsets (GROUP_WORDS stride) to
-    # in-group offsets; the section's own stride is the sliced width
-    base = np.arange(G, dtype=np.int64) * (GROUP_WORDS * 32)
-    in_group = np.asarray(boffs).astype(np.int64) - np.repeat(base, PACK_GROUP)
-    section = GroupedSection(
-        words=words,
-        group_word_counts=((gb_np.astype(np.int64) + 31) // 32).astype(np.uint32),
-        block_offsets=in_group.astype(np.uint16),
-        block_counts=np.asarray(valid).astype(np.uint8),
-        group_size=PACK_GROUP,
-        words_per_group=wmax,
+    wmax = packer_wmax(gb_np, GROUP_WORDS)
+    section = GroupedSection.from_packer_sliced(
+        np.asarray(gw[:, :wmax]), gb_np, np.asarray(boffs), np.asarray(valid),
+        PACK_GROUP, GROUP_WORDS, wmax,
     )
     return section, int(total)
 
 
 def _pack_flat_section(flat_syms, code):
-    """Pack a flat symbol stream (e.g. motion indices) as 64-symbol blocks."""
+    """Pack a flat symbol stream (e.g. motion indices) as 64-symbol blocks.
+
+    The section is width-sliced to the measured used words, like the
+    residual sections: a full-stride (GROUP_WORDS=1600) MV section made
+    ``device_views`` materialize a mostly-zero word buffer per decode."""
     from ivclab_tpu.ops.transform import GROUP_WORDS, PACK_GROUP, pack_symbols_grouped
-    from ivclab_tpu.runtime.container import GroupedSection
+    from ivclab_tpu.runtime.container import GroupedSection, packer_wmax
 
     S = 64
     M = int(np.asarray(flat_syms).size)
@@ -152,7 +144,12 @@ def _pack_flat_section(flat_syms, code):
     gw, gb, boffs, total = pack_symbols_grouped(
         buf, counts, jnp.asarray(code.codes), jnp.asarray(code.lengths), code.lower_bound
     )
-    section = GroupedSection.from_device(gw, gb, boffs, counts, PACK_GROUP, GROUP_WORDS)
+    gb_np = np.asarray(gb)
+    wmax = packer_wmax(gb_np, GROUP_WORDS)
+    section = GroupedSection.from_packer_sliced(
+        np.asarray(gw[:, :wmax]), gb_np, np.asarray(boffs), np.asarray(counts),
+        PACK_GROUP, GROUP_WORDS, wmax,
+    )
     return section, int(total)
 
 
@@ -357,9 +354,11 @@ class VideoCodec:
         from ivclab_tpu.ops.transform import inverse_reconstruct
         from ivclab_tpu.ops.zerorun import BLOCK_CAP, zerorun_decode_blocks
         from ivclab_tpu.runtime.container import (
-            KIND_PFRAME, KIND_VIDEO_ADAPTIVE, PFramePayload,
+            KIND_PFRAME, KIND_VIDEO_ADAPTIVE, MAGIC, PFramePayload,
         )
 
+        if len(blob) < 7 or blob[:4] != MAGIC:
+            raise ValueError("not an IVC1 container")
         kind = blob[6]
         if kind == KIND_VIDEO_ADAPTIVE:
             return VideoCodec.decode_from_container(blob)[0]
@@ -370,6 +369,10 @@ class VideoCodec:
         p = PFramePayload.from_bytes(blob)
         H, W = p.shape
         sr, eob = p.search_range, p.eob
+        if H % 8 or W % 8:
+            # the encoder's P-frame path (motion_search) only produces
+            # 8-multiple planes; anything else here is a corrupt header
+            raise ValueError(f"P-frame dims must be multiples of 8, got ({H}, {W})")
         hb, wb = H // 8, W // 8
         n_real = hb * wb
 
@@ -423,8 +426,10 @@ class VideoCodec:
         from ivclab_tpu.ops.transform import symbol_histogram
         from ivclab_tpu.runtime.container import AdaptiveVideoPayload, Codebook
 
-        frames_y = np.asarray(frames_y, dtype=np.float32)
-        T, H, W = frames_y.shape
+        # jnp.asarray keeps already-device-resident frames on device (a
+        # np.asarray here forced a download+upload through the tunnel)
+        y_dev = jnp.asarray(frames_y, dtype=jnp.float32)
+        T, H, W = y_dev.shape
         if H % 8 or W % 8:
             raise ValueError("container path needs frame dims divisible by 8")
         qt_np, inv_np = self.intra_codec._tables(1)
@@ -442,7 +447,6 @@ class VideoCodec:
         # closed-loop recon chain stays on device; ME/MC/transform/histogram
         # for frame t+1 execute while the host packs frame t). Ops and
         # operands are identical to the serial facade, so the bytes are too.
-        y_dev = jnp.asarray(frames_y)
         outs = []
         recon_prev = jnp.zeros((H, W), jnp.float32)
         for t in range(T):
@@ -482,14 +486,13 @@ class VideoCodec:
         # phase 2c: two batched fetches (sidecars, then width-sliced words:
         # the 1600-word group buffers are mostly empty tail) -> sections
         from ivclab_tpu.ops.transform import GROUP_WORDS, PACK_GROUP
-        from ivclab_tpu.runtime.container import GroupedSection
+        from ivclab_tpu.runtime.container import GroupedSection, packer_wmax
 
         metas = jax.device_get([(gb, boffs, validp) for _, _, _, _, gb, boffs, validp in pend])
         wmaxes = []
         sliced = []
         for (code, lo, mv_np, gw, gb, boffs, validp), (gb_np, _, _) in zip(pend, metas):
-            wmax = max(int((int(gb_np.max(initial=0)) + 31) // 32), 1)
-            wmax = min(-(-wmax // 8) * 8, GROUP_WORDS)
+            wmax = packer_wmax(gb_np, GROUP_WORDS)
             wmaxes.append(wmax)
             sliced.append(gw[:, :wmax])
         words_all = jax.device_get(sliced)
@@ -499,16 +502,8 @@ class VideoCodec:
         frame_bits = np.zeros(T, dtype=np.uint64)
         for t, ((code, lo, mv_np, _, _, _, _), (gb_np, boffs_np, valid_np),
                 words_np, wmax) in enumerate(zip(pend, metas, words_all, wmaxes)):
-            G = gb_np.shape[0]
-            base = np.arange(G, dtype=np.int64) * (GROUP_WORDS * 32)
-            in_group = boffs_np.astype(np.int64) - np.repeat(base, PACK_GROUP)
-            section = GroupedSection(
-                words=np.asarray(words_np),
-                group_word_counts=((gb_np.astype(np.int64) + 31) // 32).astype(np.uint32),
-                block_offsets=in_group.astype(np.uint16),
-                block_counts=valid_np.astype(np.uint8),
-                group_size=PACK_GROUP,
-                words_per_group=wmax,
+            section = GroupedSection.from_packer_sliced(
+                words_np, gb_np, boffs_np, valid_np, PACK_GROUP, GROUP_WORDS, wmax
             )
             frame_sections.append(
                 (Codebook(lo, np.asarray(code.lengths, dtype=np.uint8)), section)
