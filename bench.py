@@ -11,19 +11,32 @@ reconstruction chain — through the fused device GOP pipeline
 same resolution (BASELINE.json: ">= 30 fps 1080p on one v5e chip"), so
 ``vs_baseline = fps / 30``.
 
-Measurement design (VERDICT r3 'make the bench honest'):
-- the headline is the median of IVC_BENCH_REPEATS sync-free timed loops
-  (each dispatches IVC_BENCH_ITERS GOP round trips back-to-back and blocks
-  once), with every repeat's throughput reported so run-to-run variance is
-  visible;
-- per-stage attribution comes from amortized per-phase loops (N dispatches
-  of one phase, one sync, time/N) — not from single blocking calls, which
-  bundle the ~26 ms TPU-tunnel round trip into every stage and made the
-  r3 stage sum contradict the headline 6x;
-- PSNR-Y and mean bpp quantify the quality half of the "30 fps at
-  reference PSNR/bpp" claim.
+Measurement design (VERDICT r4 item 1: sustained headline, cold component
+isolated):
 
-Env knobs: IVC_BENCH_H/W/FRAMES/ITERS/REPEATS/Q (1088/1920/8/3/3/1.0).
+- the HEADLINE is ``sustained_mpix_per_s``: one continuous stream of
+  IVC_BENCH_SUSTAINED (default 32) GOP round trips with a bounded
+  in-flight depth of 2 — GOP i+1 is dispatched while GOP i drains, so the
+  ~26 ms TPU-tunnel round trip overlaps device compute without the
+  unbounded queueing that triggers tunnel backpressure (measured: depth-2
+  88.8 ms/GOP vs depth-5+ chunks degrading to 206 ms/GOP). Per-GOP
+  completion gaps (min/median/max) expose sporadic tunnel stalls — the
+  r4 "cold-start dip" was one such stall landing in the first timed
+  repeat (a 12-repeat rerun showed every repeat within ~5%: 97.3-102.7
+  ms/GOP), not a deterministic warmup effect.
+- ``first_gop_latency_ms`` reports the stream's pipeline-fill latency
+  (dispatch of GOP 0 -> its completion) separately from the sustained
+  rate, naming the cold component instead of averaging it away.
+- short sync-free repeat loops (the r3/r4 methodology) are still
+  reported for cross-round comparability.
+- per-stage attribution comes from amortized per-phase loops (N
+  dispatches of one phase, one sync, time/N).
+- PSNR-Y and mean bpp quantify the quality half of the "30 fps at
+  reference PSNR/bpp" claim; the per-frame-adaptive path is reported
+  under ``adaptive_1080p``.
+
+Env knobs: IVC_BENCH_H/W/FRAMES/ITERS/REPEATS/SUSTAINED/Q
+(1088/1920/8/3/3/32/1.0). IVC_BENCH_ADAPTIVE=0 skips the adaptive entry.
 """
 
 from __future__ import annotations
@@ -63,7 +76,9 @@ def main():
     T = int(os.environ.get("IVC_BENCH_FRAMES", 8))
     iters = int(os.environ.get("IVC_BENCH_ITERS", 3))
     repeats = int(os.environ.get("IVC_BENCH_REPEATS", 3))
+    sustained_n = int(os.environ.get("IVC_BENCH_SUSTAINED", 32))
     q = float(os.environ.get("IVC_BENCH_Q", 1.0))
+    bench_adaptive = os.environ.get("IVC_BENCH_ADAPTIVE", "1") != "0"
 
     if not _tpu_alive():
         import jax
@@ -77,6 +92,8 @@ def main():
         "jax_compilation_cache_dir",
         os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/ivclab_jaxcache"),
     )
+    if jax.default_backend() == "cpu":
+        sustained_n = min(sustained_n, 6)  # CPU fallback: keep the run bounded
 
     from ivclab_tpu.models.fastvideo import FusedVideoCodec
     from ivclab_tpu.utils import fixtures
@@ -91,10 +108,8 @@ def main():
 
     def roundtrip():
         """One GOP encode->pack->decode, every phase dispatched
-        back-to-back with ZERO host syncs — the tunnel round trip (~26 ms
-        here) otherwise serializes ahead of device compute three times per
-        GOP; bucket adequacy rides along as the device bool ``p.ok``
-        checked at the caller's sync point.
+        back-to-back with ZERO host syncs; bucket adequacy rides along as
+        the device bool checked at the caller's sync point.
         """
         qsyms, mvs, mv_bits, enc_recons = codec.encode_gop(dev_y)
         p = codec.pack_gop(qsyms, check=False)
@@ -118,33 +133,49 @@ def main():
     # is this content's q=1.0 operating point (reference-parity transform)
     assert psnr_y > 28.0, f"PSNR-Y collapsed: {psnr_y:.2f} dB"
 
-    # one untimed loop to warm allocator/tunnel state; the first timed
-    # repeat still reads ~2x slow (tunnel-side effect — persists through
-    # buffer-drain experiments), which is why every repeat is reported
-    # and the median is the headline
+    # one untimed loop to warm allocator/tunnel state
     for _ in range(iters):
         recons, *_ = roundtrip()
     recons.block_until_ready()
 
-    # timed loops: `repeats` independent sync-free loops of `iters` GOPs;
-    # median is the headline, every repeat is reported (variance is real:
-    # r2->r3 recorded-vs-rerun spread was ~12%)
+    # ---------------- sustained streaming (the headline) ----------------
+    # bounded in-flight depth 2: dispatch GOP i+1, then block on GOP i.
+    pend = []
+    oks = []
+    gop_done = []
+    t0 = time.perf_counter()
+    for _ in range(sustained_n):
+        r, _, ok_i, _, p_i, _, _ = roundtrip()
+        oks.append(ok_i & p_i.ok)
+        pend.append(r)
+        if len(pend) >= 2:
+            pend.pop(0).block_until_ready()
+            gop_done.append(time.perf_counter() - t0)
+    while pend:
+        pend.pop(0).block_until_ready()
+        gop_done.append(time.perf_counter() - t0)
+    sustained_dt = time.perf_counter() - t0
+    assert all(bool(o) for o in jax.device_get(oks)), "entropy decode failed in stream"
+    gaps_ms = np.diff([0.0] + gop_done) * 1000
+    gop_pixels = H * W * T
+    sustained_mpix = gop_pixels * sustained_n / sustained_dt / 1e6
+    first_gop_ms = gop_done[0] * 1000
+
+    # ------------- short sync-free repeats (r3/r4 comparability) -------------
     repeat_dts = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         all_ok = None
         for _ in range(iters):
             recons, bits, ok, _, p, _, _ = roundtrip()
-            # accumulate device-side so no iteration's flags are discarded
             it_ok = ok if p.ok is None else ok & p.ok
             all_ok = it_ok if all_ok is None else all_ok & it_ok
         recons.block_until_ready()
         repeat_dts.append(time.perf_counter() - t0)
         assert bool(all_ok), "entropy decode / pack buckets failed in timed loop"
-
-    gop_pixels = H * W * T
     reps_mpix = sorted(gop_pixels * iters / dt / 1e6 for dt in repeat_dts)
-    mpix_per_s = float(np.median(reps_mpix))
+
+    mpix_per_s = float(sustained_mpix)
     fps = mpix_per_s * 1e6 / (H * W)
     baseline_mpix = H * W * 30 / 1e6  # 30 fps real-time at this resolution
 
@@ -167,7 +198,38 @@ def main():
             )[0]
         ),
     }
-    gop_ms = float(np.median(repeat_dts)) * 1000 / iters
+
+    # ------------- per-frame-adaptive path (VERDICT r4 item 2) -------------
+    adaptive = None
+    if bench_adaptive:
+        from ivclab_tpu.models.videocodec import VideoCodec
+
+        acodec = VideoCodec(quantization_scale=q, codebook_policy="per-frame")
+        blob = acodec.encode_to_container(dev_y)  # compile + warm
+        enc_dts = []
+        for _ in range(max(2, repeats - 1)):
+            t0 = time.perf_counter()
+            blob = acodec.encode_to_container(dev_y)
+            enc_dts.append(time.perf_counter() - t0)
+        enc_dt = float(np.median(enc_dts))
+        VideoCodec.decode_from_container(blob)  # compile + warm
+        t0 = time.perf_counter()
+        arec = VideoCodec.decode_from_container(blob)
+        dec_dt = time.perf_counter() - t0
+        amse = np.mean((np.asarray(arec) - y) ** 2, axis=(1, 2))
+        apsnr = float(np.mean(20 * np.log10(255.0 / np.sqrt(np.maximum(amse, 1e-12)))))
+        adaptive = {
+            "encode_mpix_per_s": round(gop_pixels / enc_dt / 1e6, 2),
+            "encode_fps": round(T / enc_dt, 2),
+            "decode_mpix_per_s": round(gop_pixels / dec_dt / 1e6, 2),
+            "decode_fps": round(T / dec_dt, 2),
+            "psnr_y_db": round(apsnr, 2),
+            "container_bytes": len(blob),
+            "note": (
+                "per-frame codebook retraining (reference AdaptiveVideoCodec "
+                "flagship policy), self-contained container in/out"
+            ),
+        }
 
     # optional xprof capture of one sync-free loop (view with tensorboard)
     trace_dir = os.environ.get("IVC_BENCH_TRACE")
@@ -179,30 +241,40 @@ def main():
                 recons, *_ = roundtrip()
             recons.block_until_ready()
 
+    detail = {
+        "fps": round(fps, 2),
+        "frames": T,
+        "sustained_gops": sustained_n,
+        "sustained_mpix_per_s": round(float(sustained_mpix), 2),
+        "first_gop_latency_ms": round(first_gop_ms, 1),
+        "gop_gap_ms": {
+            "min": round(float(gaps_ms.min()), 1),
+            "median": round(float(np.median(gaps_ms)), 1),
+            "max": round(float(gaps_ms.max()), 1),
+        },
+        "repeats_mpix_per_s": [round(v, 2) for v in reps_mpix],
+        "psnr_y_db": round(psnr_y, 2),
+        "mean_bpp": round(float(np.mean(np.asarray(bits))) / (H * W), 4),
+        "backend": jax.default_backend(),
+        "gop_ms": round(1000 * sustained_dt / sustained_n, 1),
+        # amortized per-phase device-loop times; their sum should track
+        # gop_ms (no tunnel latency per stage)
+        "stages_ms_per_gop_amortized": {k: round(v, 1) for k, v in stages.items()},
+        "stage_sum_ms": round(sum(stages.values()), 1),
+    }
+    if adaptive is not None:
+        detail["adaptive_1080p"] = adaptive
     print(
         json.dumps(
             {
-                "metric": f"encode+decode {W}x{H} hybrid video throughput (1 chip, q={q})",
+                "metric": (
+                    f"encode+decode {W}x{H} hybrid video sustained throughput "
+                    f"(1 chip, q={q}, {sustained_n}-GOP stream)"
+                ),
                 "value": round(mpix_per_s, 2),
                 "unit": "Mpix/s",
                 "vs_baseline": round(mpix_per_s / baseline_mpix, 3),
-                "detail": {
-                    "fps": round(fps, 2),
-                    "frames": T,
-                    "iters": iters,
-                    "repeats": repeats,
-                    "repeats_mpix_per_s": [round(v, 2) for v in reps_mpix],
-                    "psnr_y_db": round(psnr_y, 2),
-                    "mean_bpp": round(float(np.mean(np.asarray(bits))) / (H * W), 4),
-                    "backend": jax.default_backend(),
-                    "gop_ms": round(gop_ms, 1),
-                    # amortized per-phase device-loop times; their sum
-                    # should track gop_ms (no tunnel latency per stage)
-                    "stages_ms_per_gop_amortized": {
-                        k: round(v, 1) for k, v in stages.items()
-                    },
-                    "stage_sum_ms": round(sum(stages.values()), 1),
-                },
+                "detail": detail,
             }
         )
     )

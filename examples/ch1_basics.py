@@ -19,6 +19,62 @@ from ivclab_tpu.ops.resample import decimate, downsample, fft_resample, interpol
 from ivclab_tpu.utils import fixtures
 
 
+LOWPASS_KERNEL = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], dtype=np.float64)
+
+
+def method_comparison(images=("lena", "monarch", "sail", "smandril", "peppers")):
+    """PSNR-vs-nominal-rate comparison of the ch1 compression schemes.
+
+    Reference parity: ``exercises/ch1/ex_comparison.py:21-52`` — the four
+    ``exE.py`` pipeline variants (lowpass prefilter / stride-2 downsample /
+    bilinear upsample / lowpass postfilter combinations) plus the ICT
+    chroma-subsampling codec, evaluated per image and averaged. Rates are
+    the driver's nominal bpp charges (6 bpp for the spatially downsampled
+    methods, 12 bpp for ICT), not entropy-coded sizes.
+    """
+    from ivclab_tpu.ops.resample import lowpass_filter
+    from ivclab_tpu.models.yuv420 import ict_compression
+
+    def to_u8(x):
+        return np.asarray(jnp.clip(jnp.round(x), 0, 255)).astype(np.uint8)
+
+    def down_up(x):
+        return interpolation_upsample(downsample(jnp.asarray(x, jnp.float32)))
+
+    methods = {
+        # exE.py codec: lowpass -> downsample -> bilinear upsample
+        "codec": lambda img: to_u8(down_up(lowpass_filter(img, LOWPASS_KERNEL))),
+        # exE.py codec_postfiltering: codec + lowpass postfilter
+        "codec_postfiltering": lambda img: to_u8(
+            lowpass_filter(down_up(lowpass_filter(img, LOWPASS_KERNEL)), LOWPASS_KERNEL)
+        ),
+        # exE.py subsampling: no prefilter
+        "subsampling": lambda img: to_u8(down_up(img)),
+        # exE.py subsampling_postfiltering
+        "subsampling_postfiltering": lambda img: to_u8(
+            lowpass_filter(down_up(img), LOWPASS_KERNEL)
+        ),
+        # ex_ict.py codec_ict
+        "codec_ict": lambda img: ict_compression(img, chroma_mode="fft"),
+    }
+    bpp = {name: (12.0 if name == "codec_ict" else 6.0) for name in methods}
+
+    per_image = {}
+    for name in images:
+        img = fixtures.image(name)
+        per_image[name] = {
+            m: (bpp[m], float(ivc.calc_psnr(img, fn(img)))) for m, fn in methods.items()
+        }
+    mean = {
+        m: (
+            bpp[m],
+            float(np.mean([per_image[n][m][1] for n in images])),
+        )
+        for m in methods
+    }
+    return {"per_image": per_image, "mean": mean}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--plot", default=None, help="directory for output PNGs")
@@ -62,6 +118,24 @@ def main():
     up2 = np.asarray(fft_resample(fft_resample(jnp.asarray(aa), y.shape[0], axis=0), y.shape[1], axis=1))
     for name, up in (("zero-insert", up0), ("bilinear", up1), ("fft", up2)):
         print(f"upsample {name}: PSNR={float(ivc.calc_psnr(y, up)):.2f} dB")
+
+    # ICT codec study (exercises/ch1/ex_ict.py, ex_ict_decimate.py): ICT
+    # color transform + 4:2:0 chroma subsampling, FFT vs FIR chroma paths
+    from ivclab_tpu.models.yuv420 import ict_compression
+
+    for mode in ("fft", "fir"):
+        rec = ict_compression(sail, chroma_mode=mode)
+        print(f"ict ({mode} chroma) sail: PSNR={float(ivc.calc_psnr(sail, rec)):.2f} dB")
+
+    # method comparison (exercises/ch1/ex_comparison.py): every ch1
+    # compression scheme on the five comparison images, with the driver's
+    # nominal rate accounting (downsampled x2 both dims -> 3*8/4 = 6 bpp;
+    # ICT keeps Y full resolution -> 8*(1 + 2/4) = 12 bpp)
+    comparison = method_comparison()
+    print("\nmethod comparison (mean over lena/monarch/sail/smandril/peppers):")
+    print(f"  {'method':<26} {'bpp':>5} {'mean PSNR dB':>12}")
+    for method, (bpp, psnr) in comparison["mean"].items():
+        print(f"  {method:<26} {bpp:>5.1f} {psnr:>12.2f}")
 
     if args.plot:
         import pathlib

@@ -35,7 +35,9 @@ from ivclab_tpu.utils import (
 from ivclab_tpu.ops import (
     rgb2gray,
     rgb2ycbcr,
+    rgb2ycbcr_ict,
     ycbcr2rgb,
+    ycbcr2rgb_ict,
     DiscreteCosineTransform,
     zigzag_scan,
     downsample,
@@ -76,7 +78,7 @@ from ivclab_tpu.models import MotionCompensator, VideoCodec
 __all__ = [
     "__version__",
     "imread", "imwrite", "imshow", "calc_mse", "calc_psnr", "ZigZag", "Patcher",
-    "rgb2gray", "rgb2ycbcr", "ycbcr2rgb", "DiscreteCosineTransform",
+    "rgb2gray", "rgb2ycbcr", "rgb2ycbcr_ict", "ycbcr2rgb", "ycbcr2rgb_ict", "DiscreteCosineTransform",
     "zigzag_scan", "downsample", "upsample", "interpolation_upsample",
     "lowpass_filter", "FilterPipeline",
     "stats_marg", "smooth_pmf", "calc_entropy", "min_code_length",

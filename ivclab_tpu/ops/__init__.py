@@ -1,4 +1,4 @@
-from ivclab_tpu.ops.color import rgb2gray, rgb2ycbcr, ycbcr2rgb
+from ivclab_tpu.ops.color import rgb2gray, rgb2ycbcr, rgb2ycbcr_ict, ycbcr2rgb, ycbcr2rgb_ict
 from ivclab_tpu.ops.dct import (
     DiscreteCosineTransform,
     dct_matrix,
@@ -33,7 +33,7 @@ from ivclab_tpu.ops.zerorun import (
 )
 
 __all__ = [
-    "rgb2gray", "rgb2ycbcr", "ycbcr2rgb",
+    "rgb2gray", "rgb2ycbcr", "rgb2ycbcr_ict", "ycbcr2rgb", "ycbcr2rgb_ict",
     "DiscreteCosineTransform", "dct_matrix", "dct2", "idct2",
     "dct2_fused", "idct2_fused", "zigzag_scan",
     "PatchQuant", "quant_tables", "quant_table_zigzag",

@@ -32,6 +32,43 @@ _YCBCR2RGB = np.array(
 )
 
 
+# Irreversible Color Transform (JPEG2000 ICT) — the reference's ch1 ICT
+# study uses these rounded coefficient sets and NO chroma offset
+# (exercises/ch1/ex_ict.py:7-38); kept distinct from the BT.601 pair above
+# so the study's numbers match the reference's constants exactly.
+_RGB2YCBCR_ICT = np.array(
+    [
+        [0.299, 0.587, 0.114],
+        [-0.16875, -0.33126, 0.5],
+        [0.5, -0.41869, -0.08131],
+    ],
+    dtype=np.float32,
+)
+_YCBCR2RGB_ICT = np.array(
+    [
+        [1.0, 0.0, 1.402],
+        [1.0, -0.34413, -0.71414],
+        [1.0, 1.772, 0.0],
+    ],
+    dtype=np.float32,
+)
+
+
+def rgb2ycbcr_ict(image):
+    """RGB -> ICT YCbCr (no chroma offset; Cb/Cr centered at 0).
+
+    Reference parity: ``exercises/ch1/ex_ict.py:7-23``."""
+    x = jnp.asarray(image, dtype=jnp.float32)
+    return jnp.dot(x, _RGB2YCBCR_ICT.T, precision="highest")
+
+
+def ycbcr2rgb_ict(image):
+    """ICT YCbCr -> RGB, unclipped (callers round+clip at the end, as the
+    reference does; exercises/ch1/ex_ict.py:25-38)."""
+    x = jnp.asarray(image, dtype=jnp.float32)
+    return jnp.dot(x, _YCBCR2RGB_ICT.T, precision="highest")
+
+
 def rgb2gray(image):
     """Channel-mean grayscale, keepdims (ivclab/signal/color.py:3-13)."""
     x = jnp.asarray(image, dtype=jnp.float32)

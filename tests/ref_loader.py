@@ -106,10 +106,18 @@ def load_reference():
     sys.modules["ivclab.utils.metrics"] = metrics
     yuv420 = _load("ivclab.image.yuv420codec", iv / "image" / "yuv420codec.py")
 
+    # ch1 ICT study drivers (self-contained scipy pipelines; loaded under
+    # private names — they are scripts, not ivclab modules)
+    ex_ict = _load("ref_ex_ict", REF_ROOT / "exercises" / "ch1" / "ex_ict.py")
+    ex_ict_decimate = _load(
+        "ref_ex_ict_decimate", REF_ROOT / "exercises" / "ch1" / "ex_ict_decimate.py"
+    )
+
     _cache = dict(
         color=color, shape=shape, metrics=metrics, dct=dct, zigzag=zigzag,
         signal=signal, probability=probability, entropy=entropy,
         zerorun=zerorun, patchquant=patchquant, predictive=predictive,
         motion=motion, intracodec=intracodec, yuv420=yuv420,
+        ex_ict=ex_ict, ex_ict_decimate=ex_ict_decimate,
     )
     return _cache

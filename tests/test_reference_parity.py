@@ -320,6 +320,26 @@ def test_yuv420_matches_reference():
     assert (diff > 1).mean() < 1e-4
 
 
+@pytest.mark.parametrize("mode,ref_key", [("fft", "ex_ict"), ("fir", "ex_ict_decimate")])
+def test_ict_codec_matches_reference(mode, ref_key):
+    """ICT + 4:2:0 codec variants against the reference ch1 study drivers
+    (``exercises/ch1/ex_ict.py`` / ``ex_ict_decimate.py``), loaded by file
+    path. The device pipeline runs float32 FFTs vs the reference's float64
+    scipy.signal.resample; a small fraction of pixels lands on the other
+    side of a rounding boundary."""
+    from ivclab_tpu.models.yuv420 import ict_compression
+    from ivclab_tpu.utils import fixtures
+    from ivclab_tpu.utils.metrics import calc_psnr
+
+    img = fixtures.image("sail")
+    ours = np.asarray(ict_compression(img, chroma_mode=mode)).astype(np.float64)
+    theirs = np.asarray(ref[ref_key].codec_ict(img)).astype(np.float64)
+    assert np.abs(ours - theirs).mean() < 0.05
+    psnr_ours = float(calc_psnr(img, ours))
+    psnr_theirs = float(calc_psnr(img, theirs))
+    assert abs(psnr_ours - psnr_theirs) < 0.1
+
+
 def test_metrics_match_reference(rng_mod):
     from ivclab_tpu.utils.metrics import calc_mse, calc_psnr
 
