@@ -49,6 +49,18 @@ def huffman_code_lengths(freqs: np.ndarray) -> np.ndarray:
 
     order = np.argsort(freqs, kind="stable")
     leaf_w = freqs[order]
+
+    # native fast path: identical merge order/tie-breaking in C++ (the
+    # per-frame adaptive encoder builds one tree per frame, putting this
+    # loop on the critical path)
+    from ivclab_tpu.runtime import native
+
+    depths = native.huffman_depths(leaf_w)
+    if depths is not None:
+        lengths = np.empty(n, dtype=np.int32)
+        lengths[order] = depths
+        return lengths
+
     # parent pointers over 2n-1 nodes: leaves 0..n-1 (in sorted order),
     # internal nodes n..2n-2
     parent = np.full(2 * n - 1, -1, dtype=np.int64)

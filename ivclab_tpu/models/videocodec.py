@@ -48,6 +48,52 @@ CODEBOOK_POLICIES = ("per-frame", "adaptive", "first-p-frame")
 # the fact, which is what lets the tree builds overlap the device pipeline.
 _HIST_LO, _HIST_HI = -4096, 4160
 
+# Fast-path histogram window: TPU scatter-adds cost ~19 ns/element, so the
+# full-range histogram was 35 ms/frame at 1080p — a third of the device
+# step. Typical residual streams live in a narrow band around zero (plus
+# run-length symbols 1..63 and EOB), so the step counts a static window
+# with a dense compare-reduce (~5 ms), places it into the full-range
+# array, and sets the EOB bin from an exact count. Content with any
+# non-EOB symbol outside the window falls back to the exact scatter
+# histogram via lax.cond — both branches produce identical integer
+# counts, so codebooks (and therefore bits) never depend on the branch.
+_WIN_LO, _WIN_HI = -512, 576
+
+
+def _stream_histogram(buf, valid, eob: int):
+    """Full-range [_HIST_LO, _HIST_HI) histogram of the valid symbols."""
+    from ivclab_tpu.entropy.stats import histogram_int32
+
+    pos = jnp.arange(buf.shape[1], dtype=jnp.int32)
+    mask = pos[None, :] < valid[:, None]
+    non_eob = mask & (buf != eob)
+    mx_content = jnp.max(jnp.where(non_eob, buf, jnp.int32(_WIN_LO)))
+    mn, mx = _sym_min_max(buf, valid)
+    win_ok = (mn >= _WIN_LO) & (mx_content < _WIN_HI)
+
+    def windowed():
+        v = jnp.where(non_eob, buf, jnp.int32(_WIN_LO - 1)).reshape(-1)
+        pad = (-v.shape[0]) % 64
+        if pad:
+            v = jnp.concatenate([v, jnp.full((pad,), _WIN_LO - 1, jnp.int32)])
+        bins = jnp.arange(_WIN_LO, _WIN_HI, dtype=jnp.int32)
+        chunks = v.reshape(64, -1)
+
+        def body(acc, c):
+            return acc + jnp.sum(c[:, None] == bins[None, :], axis=0, dtype=jnp.int32), None
+
+        win, _ = jax.lax.scan(body, jnp.zeros((_WIN_HI - _WIN_LO,), jnp.int32), chunks)
+        h = jnp.zeros((_HIST_HI - _HIST_LO,), jnp.int32)
+        h = jax.lax.dynamic_update_slice(h, win, (_WIN_LO - _HIST_LO,))
+        n_eob = jnp.sum((mask & (buf == eob)).astype(jnp.int32))
+        return h.at[eob - _HIST_LO].set(n_eob)
+
+    def full():
+        return histogram_int32(buf, _HIST_LO, _HIST_HI, mask=mask)
+
+    hist = jax.lax.cond(win_ok, windowed, full)
+    return mn, mx, hist
+
 
 @partial(jax.jit, static_argnames=("sr", "eob"))
 def _pframe_device_step(y, recon_prev, t, inv_qt, qt, sr: int, eob: int):
@@ -59,8 +105,13 @@ def _pframe_device_step(y, recon_prev, t, inv_qt, qt, sr: int, eob: int):
     lossless, so the recon chain never waits on it), and the full-range
     symbol histogram + min/max the host needs to build this frame's
     codebook.
+
+    ME runs through the backend dispatcher (Pallas kernel on TPU) and MC
+    through the dense select form — both bit-identical to the serial
+    facade's ``motion_search``/``motion_compensate`` for the in-bounds
+    fields the encoder emits, and together ~50 ms/frame faster at 1080p.
     """
-    from ivclab_tpu.entropy.stats import histogram_int32
+    from ivclab_tpu.ops.motion import motion_compensate_dense, motion_search_auto
     from ivclab_tpu.ops.transform import forward_symbolize, inverse_reconstruct
 
     H, W = y.shape
@@ -69,8 +120,8 @@ def _pframe_device_step(y, recon_prev, t, inv_qt, qt, sr: int, eob: int):
         return jnp.zeros_like(y), jnp.zeros((H // 8, W // 8), jnp.int32)
 
     def inter():
-        mv = motion_search(recon_prev, y, sr)
-        pred = motion_compensate(recon_prev, mv, sr)
+        mv = motion_search_auto(recon_prev, y, sr)
+        pred = motion_compensate_dense(recon_prev, mv, sr)
         return pred, mv
 
     pred, mv = jax.lax.cond(t == 0, intra, inter)
@@ -78,10 +129,7 @@ def _pframe_device_step(y, recon_prev, t, inv_qt, qt, sr: int, eob: int):
     buf, valid, qsym = forward_symbolize(residual[:, :, None], inv_qt, eob)
     recon_residual = inverse_reconstruct(qsym, qt, (H, W, 1))[:, :, 0]
     recon = pred + recon_residual
-    mn, mx = _sym_min_max(buf, valid)
-    pos = jnp.arange(buf.shape[1], dtype=jnp.int32)
-    mask = pos[None, :] < valid[:, None]
-    hist = histogram_int32(buf, _HIST_LO, _HIST_HI, mask=mask)
+    mn, mx, hist = _stream_histogram(buf, valid, eob)
     return buf, valid, mn, mx, hist, mv, recon
 
 
@@ -162,9 +210,17 @@ class VideoCodec:
         block_shape=(8, 8),
         search_range: int = 4,
         codebook_policy: str = "per-frame",
+        verify_entropy: bool = False,
     ):
+        """``verify_entropy=True`` forces the per-frame policies to run the
+        full entropy encode+decode on every residual plane (instead of
+        reconstructing from the on-device quantized coefficients and
+        relying on the property-tested losslessness of the entropy stage).
+        The bits and reconstructions are identical either way — asserted by
+        ``tests/test_ch4_video.py::test_per_frame_sweep_verify_entropy``."""
         if codebook_policy not in CODEBOOK_POLICIES:
             raise ValueError(f"codebook_policy must be one of {CODEBOOK_POLICIES}")
+        self.verify_entropy = bool(verify_entropy)
         self.quantization_scale = float(quantization_scale)
         self.bounds = bounds
         self.end_of_block = int(end_of_block)
@@ -219,7 +275,7 @@ class VideoCodec:
             codec.train_huffman_from_image(plane, is_source_rgb=False)
         # first-p-frame reuses the codebook; the pack stage clamps
         # out-of-alphabet symbols to the alphabet edge (nearest trained value)
-        verify = policy == "first-p-frame"
+        verify = policy == "first-p-frame" or self.verify_entropy
         recon, _, bitsize = codec.encode_decode(
             plane, is_source_rgb=False, verify_entropy=verify
         )
@@ -249,7 +305,7 @@ class VideoCodec:
             if self.codebook_policy != "adaptive":
                 self.intra_codec.train_huffman_from_image(y_channel, is_source_rgb=False)
                 recon_y, _, residual_bits = self.intra_codec.encode_decode(
-                    y_channel, is_source_rgb=False
+                    y_channel, is_source_rgb=False, verify_entropy=self.verify_entropy
                 )
             else:
                 packed, residual_bits = self.intra_codec.intra_encode(
@@ -464,18 +520,26 @@ class VideoCodec:
 
         stats = jax.device_get([(o[2], o[3], o[4], o[5]) for o in outs])
 
-        # phase 2b: per-frame codebook builds (host) + pack dispatches (async)
-        pend = []
-        for t, ((buf, valid, *_), (mn_i, mx_i, hist_np, mv_np)) in enumerate(
-            zip(outs, stats)
-        ):
+        # phase 2b-i: dispatch every frame's pmf (device ops identical to
+        # the serial facade's _train_from_buffers) and fetch them in ONE
+        # batched device_get — per-frame fetches cost a ~26 ms tunnel
+        # round trip each
+        pmf_pend = []
+        for (buf, valid, *_), (mn_i, mx_i, hist_np, _) in zip(outs, stats):
             lo, hi = bucket_bounds(int(mn_i), int(mx_i))
             if _HIST_LO <= lo and hi <= _HIST_HI:
                 hist = jnp.asarray(hist_np[lo - _HIST_LO : hi - _HIST_LO])
             else:  # pathological bounds: fall back to a direct histogram
                 hist = symbol_histogram(buf, valid, lo, hi)
-            pmf = smooth_pmf(hist.astype(jnp.float32) / jnp.sum(hist))
-            coder = HuffmanCoder(lower_bound=lo).train(np.asarray(pmf, dtype=np.float64))
+            pmf_pend.append((lo, smooth_pmf(hist.astype(jnp.float32) / jnp.sum(hist))))
+        pmfs = jax.device_get([p for _, p in pmf_pend])
+
+        # phase 2b-ii: per-frame codebook builds (host) + pack dispatches
+        pend = []
+        for ((buf, valid, *_), (_, _, _, mv_np), (lo, _), pmf_np) in zip(
+            outs, stats, pmf_pend, pmfs
+        ):
+            coder = HuffmanCoder(lower_bound=lo).train(np.asarray(pmf_np, dtype=np.float64))
             code = coder.code
             bufp, validp, _ = _pad_blocks(buf, valid)
             gw, gb, boffs, _ = pack_symbols_grouped(
@@ -579,6 +643,13 @@ class VideoCodec:
         n_real = hp * wp
         recon_prev = None
         recons = []
+        oks = []
+        # every frame's entropy decode + reconstruction is DISPATCHED
+        # without a host sync (the per-frame bool(ok) fetch previously
+        # cost a tunnel round trip per frame); validity flags drain in one
+        # batched fetch with the reconstructions
+        from ivclab_tpu.ops.motion import motion_compensate_dense
+
         for t, (cb, section) in enumerate(p.frames):
             code = cb.canonical()
             words, offs, counts = section.device_views()
@@ -591,17 +662,20 @@ class VideoCodec:
                 0,
             )[:n_real]
             blocks, ok = zerorun_decode_blocks(syms, counts[:n_real], 64, eob)
-            if not bool(ok):
-                raise ValueError(f"frame {t}: corrupt residual stream")
+            oks.append(ok)
             rrec = inverse_reconstruct(blocks, qt, (hp * 8, wp * 8, 1))[:H, :W, 0]
             if t == 0:
                 recon = rrec
             else:
-                pred = motion_compensate(recon_prev, jnp.asarray(mvs[t - 1]), sr)
+                pred = motion_compensate_dense(recon_prev, jnp.asarray(mvs[t - 1]), sr)
                 recon = pred + rrec
             recon_prev = recon
             recons.append(recon)
-        return np.stack(jax.device_get(recons))  # one batched fetch
+        recons_np, oks_np = jax.device_get((recons, oks))  # one batched fetch
+        for t, ok in enumerate(oks_np):
+            if not bool(ok):
+                raise ValueError(f"frame {t}: corrupt residual stream")
+        return np.stack(recons_np)
 
     def encode_decode_sequence_checkpointed(self, frames, gop_size: int, checkpointer):
         """GOP-granular fault-tolerant encode (SURVEY.md §5 'Failure
@@ -707,11 +781,12 @@ class VideoCodec:
 
         # phase 2: host tree builds overlap the queued device pipeline —
         # each frame's histogram was computed inside its device step, so
-        # the only per-frame device->host traffic is one small fetch, and
-        # the rate reductions dispatch asynchronously (fetched in phase 3)
-        pending = []
-        for local_t, (buf, valid, mn, mx, hist, mv, recon) in outs:
-            mn_i, mx_i, hist_np, mv_np = jax.device_get((mn, mx, hist, mv))
+        # the per-frame device->host traffic collapses into two batched
+        # fetches (stats, then pmfs); the rate reductions dispatch
+        # asynchronously (fetched in phase 3)
+        stats = jax.device_get([(o[2], o[3], o[4], o[5]) for _, o in outs])
+        pmf_pend = []
+        for (_, (buf, valid, *_)), (mn_i, mx_i, hist_np, _) in zip(outs, stats):
             lo, hi = bucket_bounds(int(mn_i), int(mx_i))
             if _HIST_LO <= lo and hi <= _HIST_HI:
                 h = jnp.asarray(hist_np[lo - _HIST_LO : hi - _HIST_LO])
@@ -719,8 +794,13 @@ class VideoCodec:
                 h = symbol_histogram(buf, valid, lo, hi)
             # same device ops on the same integer counts as the serial
             # facade -> bit-identical pmf -> identical canonical code
-            pmf = smooth_pmf(h.astype(jnp.float32) / jnp.sum(h))
-            coder = HuffmanCoder(lower_bound=lo).train(np.asarray(pmf, dtype=np.float64))
+            pmf_pend.append((lo, smooth_pmf(h.astype(jnp.float32) / jnp.sum(h))))
+        pmfs = jax.device_get([p for _, p in pmf_pend])
+
+        pending = []
+        for (local_t, (buf, valid, _, _, _, _, recon)), (_, _, _, mv_np), (
+            lo, _), pmf_np in zip(outs, stats, pmf_pend, pmfs):
+            coder = HuffmanCoder(lower_bound=lo).train(np.asarray(pmf_np, dtype=np.float64))
             code = coder.code
             bits_dev = _masked_code_bits(buf, valid, jnp.asarray(code.lengths), jnp.int32(lo))
             extra = 0

@@ -27,7 +27,7 @@ from ivclab_tpu.ops.bitpack import (
     symbol_bit_layout,
 )
 from ivclab_tpu.ops.dct import dct2_fused, idct2_fused
-from ivclab_tpu.ops.zerorun import zerorun_encode_blocks
+from ivclab_tpu.ops.zerorun import BLOCK_CAP, zerorun_encode_blocks_dense
 from ivclab_tpu.entropy.stats import histogram_int32
 
 
@@ -66,7 +66,10 @@ def forward_symbolize(img_ycbcr, inv_qtable_zz, eob: int = 4000):
     inv = jnp.asarray(inv_qtable_zz, dtype=jnp.float32)
     scaled = coeffs.reshape(H // 8, W // 8, C, 64) * inv[None, None]
     qsym = jnp.round(scaled).astype(jnp.int32).reshape(-1, 64)
-    buf, valid_len = zerorun_encode_blocks(qsym, 64, eob)
+    # dense (scatter-free) encode at the full BLOCK_CAP: identical buffers
+    # to zerorun_encode_blocks, but TPU scatters serialize (~10 ns/update)
+    # while the one-hot deposit is a fused VPU reduce
+    buf, valid_len = zerorun_encode_blocks_dense(qsym, 64, eob, BLOCK_CAP)
     return buf, valid_len, qsym
 
 

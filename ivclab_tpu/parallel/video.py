@@ -25,7 +25,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ivclab_tpu.ops.dct import dct2_fused, idct2_fused
 from ivclab_tpu.ops.quant import quant_table_zigzag
-from ivclab_tpu.ops.zerorun import zerorun_encode_blocks
+from ivclab_tpu.ops.zerorun import BLOCK_CAP, zerorun_encode_blocks_dense
 from ivclab_tpu.parallel.halo import (
     exchange_row_halo,
     motion_compensate_tile,
@@ -78,7 +78,7 @@ def _band_symbol_bits(plane, inv_qt, qt, enc_lens, lower_bound: int, eob: int):
     x = plane.reshape(Ht // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 64)
     coeffs = dct2_fused(x)
     qsym = jnp.round(coeffs * inv_qt[None, :]).astype(jnp.int32)
-    buf, valid_len = zerorun_encode_blocks(qsym, 64, eob)
+    buf, valid_len = zerorun_encode_blocks_dense(qsym, 64, eob, BLOCK_CAP)
     pos = jnp.arange(buf.shape[1], dtype=jnp.int32)
     mask = pos[None, :] < valid_len[:, None]
     idx = jnp.clip(buf - lower_bound, 0, enc_lens.shape[0] - 1)
@@ -361,6 +361,309 @@ def build_sharded_video_codec(
         return ShardedGopStreams(*sharded(frames_y))
 
     return step
+
+
+# --------------------------------------------------------------------------
+# Sharded PER-FRAME-ADAPTIVE codec (the reference's flagship
+# AdaptiveVideoCodec policy, exercises/ch4/E4-1.py:54-171, under the
+# (gop, tile) mesh). Unlike the fixed-codebook paths above, every frame
+# retrains its residual codebook:
+#
+#   phase 1 (device, sharded)  halo ME + dense MC + transform/symbolize +
+#                              closed-loop recon; per-frame symbol
+#                              histograms psum-reduced over the tile axis,
+#                              min/max pmin/pmax-reduced
+#   host                       bucketed bounds -> smoothed pmf (device ops
+#                              identical to the single-device path) ->
+#                              canonical tree per frame
+#   phase 2 (device, sharded)  every shard Huffman-packs its own blocks
+#                              under the broadcast per-frame code tables
+#   host 0                     width-sliced gather -> AdaptiveVideoPayload
+#                              bytes, byte-identical to the single-device
+#                              ``VideoCodec.encode_to_container``
+#                              (asserted by tests/test_parallel.py)
+
+
+class ShardedAdaptiveEncoder:
+    """GOP+tile-sharded encoder with per-frame residual codebooks."""
+
+    def __init__(self, mesh, gop_len: int, band_h: int, width: int,
+                 quantization_scale: float = 1.0, search_range: int = 4,
+                 codebook_policy: str = "per-frame", eob: int = 4000,
+                 me_backend: str | None = None):
+        from ivclab_tpu.ops.transform import PACK_GROUP
+
+        if codebook_policy not in ("per-frame", "adaptive"):
+            raise ValueError("sharded adaptive encoder: policy must be "
+                             "'per-frame' or 'adaptive'")
+        if band_h % 8 or width % 8:
+            raise ValueError("band_h and width must be multiples of 8")
+        n_tile = mesh.shape["tile"]
+        Nb = (band_h // 8) * (width // 8)
+        if Nb % PACK_GROUP:
+            raise ValueError(
+                f"band blocks ({Nb}) must be a multiple of PACK_GROUP "
+                f"({PACK_GROUP}) for byte-identity with the single-device pack"
+            )
+        self.mesh = mesh
+        self.gop_len = int(gop_len)
+        self.band_h = int(band_h)
+        self.width = int(width)
+        self.H = band_h * n_tile
+        self.q = float(quantization_scale)
+        self.sr = int(search_range)
+        self.eob = int(eob)
+        self.policy = codebook_policy
+        self.me_backend = me_backend
+        self._phase1 = self._build_phase1()
+        self._phase2 = self._build_phase2()
+
+    # ------------------------------------------------------------ phase 1
+
+    def _build_phase1(self):
+        from ivclab_tpu.models.videocodec import _stream_histogram
+        from ivclab_tpu.ops.zerorun import BLOCK_CAP, zerorun_encode_blocks_dense
+
+        band_h, W, sr, eob = self.band_h, self.width, self.sr, self.eob
+        gop_len = self.gop_len
+        qt = jnp.asarray(quant_table_zigzag(self.q, 1)[0])
+        inv_qt = 1.0 / qt
+        tile_me = _tile_me(
+            _resolve_me_backend(self.me_backend, band_h, W, sr), self.H, sr
+        )
+
+        def symbolize(plane):
+            x = plane.reshape(band_h // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 64)
+            coeffs = dct2_fused(x)
+            qsym = jnp.round(coeffs * inv_qt[None, :]).astype(jnp.int32)
+            buf, valid = zerorun_encode_blocks_dense(qsym, 64, eob, BLOCK_CAP)
+            deq = (qsym.astype(jnp.float32) * qt[None, :]).astype(jnp.int32)
+            pix = idct2_fused(deq.astype(jnp.float32))
+            recon = pix.reshape(band_h // 8, W // 8, 8, 8).transpose(0, 2, 1, 3).reshape(band_h, W)
+            return buf, valid, recon
+
+        def shard_fn(frames_local):
+            tile_idx = jax.lax.axis_index("tile").astype(jnp.int32)
+            row0 = tile_idx * band_h
+
+            def frame_step(recon_prev, inputs):
+                t, y = inputs
+
+                def intra():
+                    buf, valid, recon = symbolize(y)
+                    mv = jnp.zeros((band_h // 8, W // 8), jnp.int32)
+                    return buf, valid, mv, recon
+
+                def inter():
+                    ref_ext = exchange_row_halo(recon_prev, sr, "tile")
+                    mv = tile_me(ref_ext, y, row0)
+                    from ivclab_tpu.parallel.halo import motion_compensate_tile_dense
+
+                    pred = motion_compensate_tile_dense(ref_ext, mv, sr)
+                    buf, valid, rrec = symbolize(y - pred)
+                    return buf, valid, mv, pred + rrec
+
+                buf, valid, mv, recon = jax.lax.cond(t == 0, intra, inter)
+                mn, mx, hist = _stream_histogram(buf, valid, eob)
+                mn = jax.lax.pmin(mn, "tile")
+                mx = jax.lax.pmax(mx, "tile")
+                hist = jax.lax.psum(hist, "tile")
+                return recon, (buf, valid, mn, mx, hist, mv, recon)
+
+            ts = jnp.arange(gop_len, dtype=jnp.int32)
+            _, outs = jax.lax.scan(
+                frame_step, jnp.zeros((band_h, W), jnp.float32), (ts, frames_local)
+            )
+            return outs
+
+        from jax import shard_map
+
+        sharded = shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=P("gop", "tile", None),
+            out_specs=(
+                P("gop", "tile", None),  # buf [T, Nb, cap]
+                P("gop", "tile"),        # valid [T, Nb]
+                P("gop"),                # mn [T] (tile-reduced)
+                P("gop"),                # mx [T]
+                P("gop", None),          # hist [T, nbins] (tile-reduced)
+                P("gop", "tile", None),  # mv [T, hb, wb]
+                P("gop", "tile", None),  # recons [T, band, W]
+            ),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    # ------------------------------------------------------------ phase 2
+
+    def _build_phase2(self):
+        from ivclab_tpu.ops.bitpack import pack_codes_grouped_dense
+        from ivclab_tpu.ops.transform import GROUP_WORDS, PACK_GROUP
+        from ivclab_tpu.ops.zerorun import BLOCK_CAP
+
+        def pack_frame(buf_t, valid_t, codes_t, lens_t, lower_t):
+            # inlined pack_symbols_grouped with TRACED per-frame tables
+            # (the wrapper's static lower_bound would retrace per frame);
+            # the clip bound differs from the exact-alphabet call only for
+            # out-of-range symbols, which the per-frame code excludes
+            pos = jnp.arange(BLOCK_CAP, dtype=jnp.int32)
+            mask = pos[None, :] < valid_t[:, None]
+            idx = jnp.clip(buf_t - lower_t, 0, lens_t.shape[0] - 1)
+            lens = jnp.where(mask, lens_t[idx], 0)
+            codes = jnp.where(mask, codes_t[idx], 0)
+            words, gbits, boffs = pack_codes_grouped_dense(
+                codes, lens, PACK_GROUP, GROUP_WORDS
+            )
+            G = boffs.shape[0] // PACK_GROUP
+            base = (jnp.arange(G, dtype=jnp.int32) * (GROUP_WORDS * 32))
+            in_group = boffs - jnp.repeat(base, PACK_GROUP)
+            return words, gbits, in_group
+
+        def shard_fn(buf, valid, codes, lens, lowers):
+            return jax.vmap(pack_frame)(buf, valid, codes, lens, lowers)
+
+        from jax import shard_map
+
+        sharded = shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(
+                P("gop", "tile", None),  # buf
+                P("gop", "tile"),        # valid
+                P("gop", None),          # per-frame padded code words
+                P("gop", None),          # per-frame padded lengths
+                P("gop"),                # per-frame lower bounds
+            ),
+            out_specs=(
+                P("gop", "tile", None),  # words [T, Gb, GROUP_WORDS]
+                P("gop", "tile"),        # gbits [T, Gb]
+                P("gop", "tile"),        # in-group offsets [T, Nb]
+            ),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    # ------------------------------------------------------------ encode
+
+    def encode(self, frames_y) -> list:
+        """``[n_gop * gop_len, H, W]`` float32 -> one AdaptiveVideoPayload
+        ``bytes`` per GOP, byte-identical to the single-device
+        ``VideoCodec.encode_to_container`` on the same frames."""
+        import numpy as np
+
+        from ivclab_tpu.entropy.huffman import HuffmanCoder
+        from ivclab_tpu.entropy.stats import smooth_pmf
+        from ivclab_tpu.models.intracodec import bucket_bounds
+        from ivclab_tpu.models.videocodec import (
+            _HIST_LO, _HIST_HI, _pack_flat_section,
+        )
+        from ivclab_tpu.ops.transform import GROUP_WORDS, PACK_GROUP
+        from ivclab_tpu.runtime.container import (
+            AdaptiveVideoPayload, Codebook, GroupedSection, packer_wmax,
+        )
+
+        mesh = self.mesh
+        n_gop = mesh.shape["gop"]
+        gop_len, H, W = self.gop_len, self.H, self.width
+        frames_y = jax.device_put(
+            jnp.asarray(frames_y, jnp.float32),
+            NamedSharding(mesh, P("gop", "tile", None)),
+        )
+        T = frames_y.shape[0]
+        assert T == n_gop * gop_len and frames_y.shape[1:] == (H, W)
+
+        buf, valid, mn, mx, hist, mvs, recons = self._phase1(frames_y)
+        stats = jax.device_get((mn, mx, hist))
+        mn_np, mx_np, hist_np = stats
+
+        # host tree builds (device pmf ops identical to the single-device
+        # path -> identical canonical codes)
+        pmf_pend = []
+        for t in range(T):
+            lo, hi = bucket_bounds(int(mn_np[t]), int(mx_np[t]))
+            assert _HIST_LO <= lo and hi <= _HIST_HI, "bounds escape the window"
+            h = jnp.asarray(hist_np[t, lo - _HIST_LO : hi - _HIST_LO])
+            pmf_pend.append((lo, smooth_pmf(h.astype(jnp.float32) / jnp.sum(h))))
+        pmfs = jax.device_get([p for _, p in pmf_pend])
+        codes_list = []
+        for (lo, _), pmf_np in zip(pmf_pend, pmfs):
+            coder = HuffmanCoder(lower_bound=lo).train(np.asarray(pmf_np, np.float64))
+            codes_list.append(coder.code)
+
+        a_max = max(c.n for c in codes_list)
+        codes_pad = np.zeros((T, a_max), dtype=np.uint32)
+        lens_pad = np.zeros((T, a_max), dtype=np.int32)
+        lowers = np.zeros(T, dtype=np.int32)
+        for t, c in enumerate(codes_list):
+            codes_pad[t, : c.n] = c.codes
+            lens_pad[t, : c.n] = c.lengths
+            lowers[t] = c.lower_bound
+
+        words, gbits, in_group = self._phase2(
+            buf, valid, jnp.asarray(codes_pad), jnp.asarray(lens_pad),
+            jnp.asarray(lowers),
+        )
+        gbits_np, offs_np, valid_np, mvs_np = jax.device_get(
+            (gbits, in_group, valid, mvs)
+        )
+        wmaxes = [packer_wmax(gbits_np[t], GROUP_WORDS) for t in range(T)]
+        words_np = jax.device_get([words[t, :, : wmaxes[t]] for t in range(T)])
+
+        # MV codebook: uniform pmf trained once (reference parity)
+        n_mv = (2 * self.sr + 1) ** 2
+        mv_coder = HuffmanCoder(lower_bound=0).train(np.full(n_mv, 1.0 / n_mv))
+        mv_code = mv_coder.code
+        mv_cb = Codebook(0, np.asarray(mv_code.lengths, dtype=np.uint8))
+
+        payloads = []
+        for g in range(n_gop):
+            sl = range(g * gop_len, (g + 1) * gop_len)
+            frame_sections = []
+            frame_bits = np.zeros(gop_len, dtype=np.uint64)
+            for i, t in enumerate(sl):
+                code = codes_list[t]
+                section = GroupedSection(
+                    words=np.asarray(words_np[t]),
+                    group_word_counts=(
+                        (gbits_np[t].astype(np.int64) + 31) // 32
+                    ).astype(np.uint32),
+                    block_offsets=offs_np[t].astype(np.uint16),
+                    block_counts=valid_np[t].astype(np.uint8),
+                    group_size=PACK_GROUP,
+                    words_per_group=wmaxes[t],
+                )
+                frame_sections.append(
+                    (Codebook(code.lower_bound,
+                              np.asarray(code.lengths, dtype=np.uint8)), section)
+                )
+                bits = int(gbits_np[t].astype(np.int64).sum())
+                if i > 0:
+                    bits += int(
+                        np.sum(np.asarray(mv_code.lengths)[mvs_np[t].reshape(-1)])
+                    )
+                    if self.policy == "adaptive":
+                        bits += 8 * ((8 + code.n) + 12)
+                frame_bits[i] = bits
+            gop_mvs = mvs_np[g * gop_len + 1 : (g + 1) * gop_len]
+            mv_flat = (
+                gop_mvs.reshape(-1).astype(np.int32)
+                if gop_mvs.size else np.zeros(0, dtype=np.int32)
+            )
+            mv_section, _ = _pack_flat_section(mv_flat, mv_code)
+            payloads.append(AdaptiveVideoPayload(
+                quantization_scale=self.q,
+                eob=self.eob,
+                search_range=self.sr,
+                policy=1 if self.policy == "adaptive" else 0,
+                shape=(gop_len, H, W),
+                payload_bits=int(frame_bits.sum()),
+                frame_bits=frame_bits,
+                mv_codebook=mv_cb,
+                mv=mv_section,
+                frames=frame_sections,
+            ).to_bytes())
+        return payloads
 
 
 def assemble_video_payloads(codec, streams: ShardedGopStreams, gop_len: int) -> list:

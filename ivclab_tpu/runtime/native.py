@@ -70,6 +70,10 @@ def get_lib():
 
         lib.ivc_zerorun_decode.restype = i64
         lib.ivc_zerorun_decode.argtypes = [i32p, i64, i64, i32, i32, i32p]
+
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.ivc_huffman_depths.restype = i64
+        lib.ivc_huffman_depths.argtypes = [f64p, i64, i32p]
         _lib = lib
         return _lib
 
@@ -151,6 +155,28 @@ def _decode_symbols_np(words, num_symbols, lj, fc, go, ss, start_bit, min_len=1)
             raise ValueError("canonical decode failed: corrupt bitstream")
         out[i] = ss[pos]
         bitpos += length
+    return out
+
+
+# ------------------------------------------------------------ huffman depths
+
+def huffman_depths(leaf_w_sorted: np.ndarray) -> np.ndarray | None:
+    """Two-queue prefix-code depths for ascending-sorted leaf weights.
+
+    Bit-identical merge order/tie-breaking to the Python path in
+    ``entropy/codebook.py``; returns None when the native engine is
+    unavailable (caller falls back to the Python loop). Per-frame adaptive
+    coding builds a tree per frame, so this loop is on the encode critical
+    path (measured ~25 ms/frame in Python at 1080p alphabets vs ~0.1 ms
+    here).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    w = np.ascontiguousarray(leaf_w_sorted, dtype=np.float64)
+    out = np.empty(w.size, dtype=np.int32)
+    if lib.ivc_huffman_depths(w, w.size, out) != 0:
+        raise ValueError("huffman_depths: need at least one leaf")
     return out
 
 

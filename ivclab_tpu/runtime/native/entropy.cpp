@@ -12,8 +12,48 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 extern "C" {
+
+// Optimal prefix-code depths for ASCENDING-sorted positive leaf weights
+// (two-queue method). Bit-for-bit the same merge order and tie-breaking
+// as the Python reference implementation in entropy/codebook.py
+// (huffman_code_lengths): leaves win ties against packages, package
+// weights accumulate in identical IEEE-double order — so the resulting
+// trees (and therefore canonical codes) are identical. Writes the depth
+// of each sorted leaf to out_depth. Returns 0, or -1 on n < 1.
+int64_t ivc_huffman_depths(const double* leaf_w, int64_t n,
+                           int32_t* out_depth) {
+  if (n < 1) return -1;
+  if (n == 1) { out_depth[0] = 1; return 0; }
+  std::vector<int64_t> parent(2 * n - 1, -1);
+  std::vector<double> pkg_w(n - 1);
+  int64_t li = 0, pi = 0, np_pkgs = 0;
+  auto take = [&](double* w) -> int64_t {
+    if (li < n && (pi >= np_pkgs || leaf_w[li] <= pkg_w[pi])) {
+      *w = leaf_w[li];
+      return li++;
+    }
+    *w = pkg_w[pi];
+    return n + pi++;
+  };
+  for (int64_t k = 0; k < n - 1; ++k) {
+    double wa, wb;
+    const int64_t a = take(&wa);
+    const int64_t b = take(&wb);
+    const int64_t node = n + k;
+    parent[a] = node;
+    parent[b] = node;
+    pkg_w[k] = wa + wb;
+    ++np_pkgs;
+  }
+  std::vector<int32_t> depth(2 * n - 1, 0);
+  for (int64_t node = 2 * n - 3; node >= 0; --node)
+    depth[node] = depth[parent[node]] + 1;
+  std::memcpy(out_depth, depth.data(), sizeof(int32_t) * n);
+  return 0;
+}
 
 // Pack n codewords (right-aligned `codes`, bit lengths `lens`, 0 = skip)
 // into `out_words` (caller-zeroed, capacity >= ceil(total_bits/32)+1).

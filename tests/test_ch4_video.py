@@ -149,3 +149,23 @@ def test_pipelined_rejects_first_p_frame(foreman):
     codec = VideoCodec(quantization_scale=1.0, codebook_policy="first-p-frame")
     with pytest.raises(ValueError):
         codec.encode_decode_sequence_pipelined(foreman[:2])
+
+
+def test_per_frame_sweep_verify_entropy(foreman):
+    """VERDICT r4 weak #3 / item 8: the default per-frame sweep
+    reconstructs from on-device quantized coefficients; with
+    ``verify_entropy=True`` every residual plane additionally runs the
+    full Huffman+zero-run decode. Bits and reconstructions must be
+    identical — the entropy stage is lossless in situ, not just in its
+    property tests."""
+    from ivclab_tpu.models.videocodec import VideoCodec
+
+    frames = foreman[:3]
+    fast = VideoCodec(quantization_scale=1.0, codebook_policy="per-frame")
+    slow = VideoCodec(
+        quantization_scale=1.0, codebook_policy="per-frame", verify_entropy=True
+    )
+    recons_fast, bits_fast = fast.encode_decode_sequence(frames)
+    recons_slow, bits_slow = slow.encode_decode_sequence(frames)
+    assert np.array_equal(bits_fast, bits_slow)
+    assert np.array_equal(recons_fast, recons_slow)

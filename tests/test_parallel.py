@@ -210,3 +210,40 @@ def test_fused_matches_facade_rate(foreman):
     total_fused = float(np.sum(np.asarray(bits_fused)))
     total_facade = float(np.sum(bits_facade))
     assert 0.5 < total_fused / total_facade < 2.0
+
+
+@pytest.mark.parametrize("policy", ["per-frame", "adaptive"])
+def test_sharded_adaptive_container_matches_single_device(foreman, policy):
+    """VERDICT r4 item 3: per-frame codebooks under the (gop, tile) mesh.
+
+    The sharded adaptive encoder (per-frame histograms psum-reduced over
+    tiles, host tree builds, per-shard packing) must produce
+    AdaptiveVideoPayload bytes IDENTICAL to the single-device
+    ``VideoCodec.encode_to_container`` on the same frames — and the blobs
+    must decode from bytes alone to the same reconstructions.
+    """
+    from ivclab_tpu.models.videocodec import VideoCodec
+    from ivclab_tpu.parallel.video import ShardedAdaptiveEncoder
+
+    gop_len, n_tile = 3, 4
+    mesh = make_mesh(n_gop=2, n_tile=n_tile)
+    # crop so each band's block count is a multiple of PACK_GROUP
+    y = foreman[: 2 * gop_len, :256, :352].astype(np.float32).mean(axis=-1)
+    T, H, W = y.shape
+    band_h = H // n_tile
+
+    enc = ShardedAdaptiveEncoder(
+        mesh, gop_len, band_h, W, quantization_scale=1.0, codebook_policy=policy
+    )
+    blobs = enc.encode(y)
+    assert len(blobs) == 2
+
+    for g in range(2):
+        chunk = y[g * gop_len : (g + 1) * gop_len]
+        ref_blob = VideoCodec(
+            quantization_scale=1.0, codebook_policy=policy
+        ).encode_to_container(chunk)
+        assert blobs[g] == ref_blob  # byte-for-byte
+        recons = VideoCodec.decode_from_container(blobs[g])
+        ref_recons = VideoCodec.decode_from_container(ref_blob)
+        assert np.array_equal(recons, ref_recons)
