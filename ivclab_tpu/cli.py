@@ -157,7 +157,9 @@ def cmd_encode_video(args):
     y = np.asarray(rgb2ycbcr(frames.astype(np.float32)))[..., 0]
     gop = args.gop or frames.shape[0]
     blobs, recons, bits = [], [], []
-    if args.codebook_policy in ("per-frame", "adaptive"):
+    if args.mesh_gop or args.mesh_tile:
+        blobs, recons, bits = _encode_video_sharded(args, y, gop, timer)
+    elif args.codebook_policy in ("per-frame", "adaptive"):
         from ivclab_tpu.models.videocodec import VideoCodec
         from ivclab_tpu.runtime.container import AdaptiveVideoPayload
 
@@ -215,6 +217,82 @@ def cmd_encode_video(args):
     if trace:
         out["trace"] = trace
     print(json.dumps(out))
+
+
+def _encode_video_sharded(args, y, gop: int, timer):
+    """Encode through the (gop, tile)-sharded device mesh paths.
+
+    ``--mesh-gop``/``--mesh-tile`` pick the mesh factorization
+    (``config.MeshConfig``); ``first-p-frame`` streams through the fused
+    sharded codec (distributed entropy pack + host-0 assembly),
+    ``per-frame``/``adaptive`` through the sharded adaptive encoder. All
+    produce the same self-contained IVC1 blobs as the single-device
+    encoders (byte-identical — tests/test_parallel.py).
+    """
+    import jax
+
+    from ivclab_tpu.models.fastvideo import FusedVideoCodec
+    from ivclab_tpu.parallel.mesh import make_mesh
+    from ivclab_tpu.runtime.container import AdaptiveVideoPayload, VideoPayload
+
+    mesh = make_mesh(n_gop=args.mesh_gop, n_tile=args.mesh_tile)
+    n_gop, n_tile = mesh.shape["gop"], mesh.shape["tile"]
+    T, H, W = y.shape
+    if H % n_tile or (H // n_tile) % 8:
+        raise SystemExit(
+            f"frame height {H} does not split into {n_tile} 8-aligned bands"
+        )
+    if T % (n_gop * gop):
+        raise SystemExit(
+            f"{T} frames do not fill {n_gop} device GOPs of {gop} frames"
+        )
+    band_h = H // n_tile
+    blobs, recons, bits = [], [], []
+    if args.codebook_policy in ("per-frame", "adaptive"):
+        from ivclab_tpu.models.videocodec import VideoCodec
+        from ivclab_tpu.parallel.video import ShardedAdaptiveEncoder
+
+        enc = ShardedAdaptiveEncoder(
+            mesh, gop, band_h, W, quantization_scale=args.q,
+            search_range=args.search_range, codebook_policy=args.codebook_policy,
+        )
+        for start in range(0, T, n_gop * gop):
+            with timer.stage("encode"):
+                blobs.extend(enc.encode(y[start : start + n_gop * gop]))
+        for blob in blobs:
+            with timer.stage("decode-check"):
+                recons.append(np.asarray(VideoCodec.decode_from_container(blob)))
+            bits.extend(int(b) for b in AdaptiveVideoPayload.from_bytes(blob).frame_bits)
+        return blobs, recons, bits
+
+    from ivclab_tpu.parallel.video import (
+        assemble_video_payloads, build_sharded_video_codec, shard_frames,
+    )
+
+    codec = FusedVideoCodec(quantization_scale=args.q, search_range=args.search_range)
+    with timer.stage("train"):
+        codec.train(y[: min(2, T)])
+        qs = codec.encode_gop(y[:gop])[0]
+        codec.pack_gop(qs)  # establish the static pack buckets
+    cap, bw, gw = codec._buckets
+    step = build_sharded_video_codec(
+        mesh, codec, gop, band_h, W, cap=cap, group_words=gw, block_words=bw
+    )
+    for start in range(0, T, n_gop * gop):
+        chunk = y[start : start + n_gop * gop]
+        with timer.stage("encode"):
+            out = step(shard_frames(chunk, mesh))
+            jax.block_until_ready(out.words)
+        with timer.stage("serialize"):
+            blobs.extend(assemble_video_payloads(codec, out, gop))
+    for blob in blobs:
+        with timer.stage("decode-check"):
+            r, ok = FusedVideoCodec.decode_from_container(blob)
+            if not bool(ok):
+                raise SystemExit("sharded GOP payload failed entropy decode")
+            recons.append(np.asarray(r))
+        bits.extend(int(b) for b in VideoPayload.from_bytes(blob).frame_bits)
+    return blobs, recons, bits
 
 
 def cmd_decode_video(args):
@@ -281,6 +359,26 @@ def cmd_rd_sweep(args):
             psnr = float(np.mean([calc_psnr(frames[t], recons[t]) for t in range(frames.shape[0])]))
             bpp = float(np.mean(bits / (frames[0].size / 3)))
             points.append({"q": q, "bpp": round(bpp, 4), "psnr_db": round(psnr, 3)})
+    elif args.kind == "image-vs-video":
+        # exercises/ch4/ex1.py:423-450: code each foreman frame with a
+        # per-frame-trained IntraCodec at the image-codec q ladder; the RD
+        # points pair with the `video` sweep for the intra-vs-hybrid plot
+        from ivclab_tpu.models import IntraCodec
+
+        frames = fixtures.video("foreman", num_frames=args.frames)
+        for q in sweep.image_vs_video_q_scales:
+            codec = IntraCodec(quantization_scale=q)
+            psnrs, bpps = [], []
+            for img in frames:
+                codec.train_huffman_from_image(img)
+                recon, _, _, bpp = codec.encode_decode(img, return_bpp=True)
+                psnrs.append(float(calc_psnr(img, recon)))
+                bpps.append(bpp)
+            points.append({
+                "q": q,
+                "bpp": round(float(np.mean(bpps)), 4),
+                "psnr_db": round(float(np.mean(psnrs)), 3),
+            })
     elif args.kind == "dpcm":
         from ivclab_tpu.models.dpcm import PredictiveCodec
 
@@ -399,6 +497,16 @@ def build_parser():
         help="first-p-frame: fused fixed-codebook GOP codec; "
              "per-frame/adaptive: per-frame codebooks in the container",
     )
+    p.add_argument(
+        "--mesh-gop", type=int, default=None,
+        help="gop-axis size of the device mesh (sharded encode; "
+             "config.MeshConfig.n_gop)",
+    )
+    p.add_argument(
+        "--mesh-tile", type=int, default=None,
+        help="tile-axis size of the device mesh (row-band sharding with "
+             "halo motion search; config.MeshConfig.n_tile)",
+    )
     p.set_defaults(fn=cmd_encode_video)
 
     p = sub.add_parser("decode-video")
@@ -407,7 +515,10 @@ def build_parser():
     p.set_defaults(fn=cmd_decode_video)
 
     p = sub.add_parser("rd-sweep")
-    p.add_argument("--kind", default="image", choices=["image", "video", "dpcm"])
+    p.add_argument(
+        "--kind", default="image",
+        choices=["image", "video", "dpcm", "image-vs-video"],
+    )
     p.add_argument("--frames", type=int, default=6)
     p.add_argument("--codebook-policy", default="per-frame")
     p.set_defaults(fn=cmd_rd_sweep)

@@ -140,6 +140,13 @@ def pack_symbols_grouped(buf, valid_len, enc_codes, enc_lens, lower_bound: int):
     G = N // PACK_GROUP
     pos = jnp.arange(cap, dtype=jnp.int32)
     mask = pos[None, :] < valid_len[:, None]
+    # Out-of-alphabet symbols clamp to the alphabet EDGE. The reference's
+    # first-p-frame policy clamps to the NEAREST TRAINED symbol
+    # (exercises/ch4/ex1.py:163-176); these are the same mapping because
+    # codebooks are trained over contiguous bucketed bounds [lo, hi)
+    # covering the training min/max (models/intracodec.py bucket_bounds),
+    # so the nearest in-alphabet value to any outside symbol IS the edge
+    # (asserted by tests/test_ch4_video.py::test_edge_clamp_equals_nearest_trained).
     idx = jnp.clip(buf - lower_bound, 0, enc_lens.shape[0] - 1)
     lens = jnp.where(mask, enc_lens[idx], 0)
     codes = jnp.where(mask, enc_codes[idx], 0)
