@@ -142,6 +142,50 @@ def _masked_code_bits(buf, valid, enc_lens, lower):
     return jnp.sum(jnp.where(mask, enc_lens[idx], 0))
 
 
+def _sized_buckets_ok(gb_np, in_group_np, wpg: int, bw: int) -> bool:
+    """True when the speculative pack buckets held this frame's content.
+
+    ``group_bits`` and block offsets are exact cumsum-of-lengths outputs
+    regardless of word-buffer truncation, so the host can validate the
+    word streams without ever reading them: every group must fit its
+    ``wpg``-word buffer and every block its ``bw``-word deposit window.
+    ``in_group_np`` holds IN-GROUP bit offsets (u16-compact form is fine:
+    an overflow that would wrap them also trips the group-bits bound).
+    """
+    from ivclab_tpu.ops.transform import PACK_GROUP
+
+    gb = np.asarray(gb_np).astype(np.int64)
+    if gb.size == 0:
+        return True
+    if int(gb.max()) > wpg * 32:
+        return False
+    ig = np.asarray(in_group_np).astype(np.int64).reshape(-1, PACK_GROUP)
+    ends = np.concatenate([ig[:, 1:], gb[:, None]], axis=1)
+    return int(((ends - ig).max(initial=0) + 31) // 32) <= bw
+
+
+@partial(jax.jit, static_argnames=("wpg",))
+def _compact_sidecar(gb, boffs, valid, wpg: int):
+    """Device-side sidecar compaction before the host fetch.
+
+    The adaptive container encode is tunnel-bandwidth-bound; rebasing the
+    packer's global bit offsets to in-group u16 (they fit whenever the
+    speculative buckets held — and an overflow wraps AFTER the group-bits
+    check already failed), clipping group bits to u16, and narrowing the
+    counts to u8 cuts the per-frame sidecar fetch ~3.5x.
+    """
+    from ivclab_tpu.ops.transform import PACK_GROUP
+
+    G = gb.shape[0]
+    base = jnp.arange(G, dtype=jnp.int32) * (wpg * 32)
+    ig = boffs - jnp.repeat(base, PACK_GROUP)
+    return (
+        jnp.minimum(gb, 65535).astype(jnp.uint16),
+        jnp.clip(ig, 0, 65535).astype(jnp.uint16),
+        valid.astype(jnp.uint8),
+    )
+
+
 def _pack_section(buf, valid, code):
     """Grouped-pack one frame's symbol buffers under a plain canonical code.
 
@@ -149,25 +193,40 @@ def _pack_section(buf, valid, code):
     are word-aligned per group with the parallel-decode sidecar, so the
     container decoder runs ``decode_blocks_device`` over all blocks at once.
 
-    The device pack buffer is sized for the worst case (GROUP_WORDS=1600
-    words/group) but typical groups use <100; the word fetch is sliced to
-    the measured maximum on device first — device->host over the TPU
-    tunnel runs at single-digit MB/s, so fetching the empty tail dominated
-    the whole adaptive container encode.
+    Packs speculatively with the small ADAPTIVE_WPG/ADAPTIVE_BW buckets
+    (the full-stride 1600-word packer costs 9x more device time and its
+    mostly-empty word fetch dominated the adaptive container encode);
+    content overflowing the buckets — validated exactly from the fetched
+    sidecar, see :func:`_sized_buckets_ok` — re-packs full-stride. Bytes
+    are identical either way.
     """
     from ivclab_tpu.models.intracodec import _pad_blocks
-    from ivclab_tpu.ops.transform import GROUP_WORDS, PACK_GROUP, pack_symbols_grouped
+    from ivclab_tpu.ops.transform import (
+        ADAPTIVE_BW, ADAPTIVE_WPG, GROUP_WORDS, PACK_GROUP,
+        pack_symbols_grouped, pack_symbols_grouped_sized,
+    )
     from ivclab_tpu.runtime.container import GroupedSection, packer_wmax
 
     buf, valid, _ = _pad_blocks(buf, valid)
-    gw, gb, boffs, total = pack_symbols_grouped(
-        buf, valid, jnp.asarray(code.codes), jnp.asarray(code.lengths), code.lower_bound
+    gw, gb, boffs, total = pack_symbols_grouped_sized(
+        buf, valid, jnp.asarray(code.codes), jnp.asarray(code.lengths),
+        jnp.int32(code.lower_bound), ADAPTIVE_WPG, ADAPTIVE_BW,
     )
-    gb_np = np.asarray(gb)
-    wmax = packer_wmax(gb_np, GROUP_WORDS)
+    gb_np, boffs_np = np.asarray(gb), np.asarray(boffs)
+    stride = ADAPTIVE_WPG
+    base = np.arange(gb_np.shape[0], dtype=np.int64) * (ADAPTIVE_WPG * 32)
+    ig = boffs_np.astype(np.int64) - np.repeat(base, PACK_GROUP)
+    if not _sized_buckets_ok(gb_np, ig, ADAPTIVE_WPG, ADAPTIVE_BW):
+        gw, gb, boffs, total = pack_symbols_grouped(
+            buf, valid, jnp.asarray(code.codes), jnp.asarray(code.lengths),
+            code.lower_bound,
+        )
+        gb_np, boffs_np = np.asarray(gb), np.asarray(boffs)
+        stride = GROUP_WORDS
+    wmax = packer_wmax(gb_np, stride)
     section = GroupedSection.from_packer_sliced(
-        np.asarray(gw[:, :wmax]), gb_np, np.asarray(boffs), np.asarray(valid),
-        PACK_GROUP, GROUP_WORDS, wmax,
+        np.asarray(gw[:, :wmax]), gb_np, boffs_np, np.asarray(valid),
+        PACK_GROUP, stride, wmax,
     )
     return section, int(total)
 
@@ -518,7 +577,10 @@ class VideoCodec:
         from ivclab_tpu.models.intracodec import _pad_blocks
         from ivclab_tpu.ops.transform import pack_symbols_grouped
 
-        stats = jax.device_get([(o[2], o[3], o[4], o[5]) for o in outs])
+        # mv fields narrow to u8 for the fetch (indices < (2sr+1)^2 = 81)
+        stats = jax.device_get(
+            [(o[2], o[3], o[4], o[5].astype(jnp.uint8)) for o in outs]
+        )
 
         # phase 2b-i: dispatch every frame's pmf (device ops identical to
         # the serial facade's _train_from_buffers) and fetch them in ONE
@@ -534,7 +596,14 @@ class VideoCodec:
             pmf_pend.append((lo, smooth_pmf(hist.astype(jnp.float32) / jnp.sum(hist))))
         pmfs = jax.device_get([p for _, p in pmf_pend])
 
-        # phase 2b-ii: per-frame codebook builds (host) + pack dispatches
+        # phase 2b-ii: per-frame codebook builds (host) + SPECULATIVE
+        # cap-sized pack dispatches (ADAPTIVE_WPG/ADAPTIVE_BW buckets; the
+        # full-stride packer costs 9x more device time)
+        from ivclab_tpu.ops.transform import (
+            ADAPTIVE_BW, ADAPTIVE_WPG, GROUP_WORDS, PACK_GROUP,
+            pack_symbols_grouped_sized,
+        )
+
         pend = []
         for ((buf, valid, *_), (_, _, _, mv_np), (lo, _), pmf_np) in zip(
             outs, stats, pmf_pend, pmfs
@@ -542,32 +611,60 @@ class VideoCodec:
             coder = HuffmanCoder(lower_bound=lo).train(np.asarray(pmf_np, dtype=np.float64))
             code = coder.code
             bufp, validp, _ = _pad_blocks(buf, valid)
-            gw, gb, boffs, _ = pack_symbols_grouped(
-                bufp, validp, jnp.asarray(code.codes), jnp.asarray(code.lengths), lo
+            gw, gb, boffs, _ = pack_symbols_grouped_sized(
+                bufp, validp, jnp.asarray(code.codes), jnp.asarray(code.lengths),
+                jnp.int32(lo), ADAPTIVE_WPG, ADAPTIVE_BW,
             )
-            pend.append((code, lo, mv_np, gw, gb, boffs, validp))
+            compact = _compact_sidecar(gb, boffs, validp, ADAPTIVE_WPG)
+            pend.append([code, lo, mv_np, gw, compact, bufp, validp])
 
-        # phase 2c: two batched fetches (sidecars, then width-sliced words:
-        # the 1600-word group buffers are mostly empty tail) -> sections
-        from ivclab_tpu.ops.transform import GROUP_WORDS, PACK_GROUP
+        # phase 2c: batched COMPACT sidecar fetch (u16 group bits + u16
+        # in-group offsets + u8 counts — the encode is tunnel-bandwidth-
+        # bound); frames whose content overflowed the speculative buckets
+        # (exact check from group bits + offsets) re-pack full-stride,
+        # then one batched width-sliced word fetch
         from ivclab_tpu.runtime.container import GroupedSection, packer_wmax
 
-        metas = jax.device_get([(gb, boffs, validp) for _, _, _, _, gb, boffs, validp in pend])
+        metas = jax.device_get([p[4] for p in pend])
+        strides = [ADAPTIVE_WPG] * T
+        for t, (p, (gb_np, ig_np, _)) in enumerate(zip(pend, metas)):
+            if not _sized_buckets_ok(gb_np, ig_np, ADAPTIVE_WPG, ADAPTIVE_BW):
+                code, lo = p[0], p[1]
+                gw, gb, boffs, _ = pack_symbols_grouped(
+                    p[5], p[6], jnp.asarray(code.codes),
+                    jnp.asarray(code.lengths), lo,
+                )
+                p[3] = gw
+                gb_np = np.asarray(gb)
+                base = np.arange(gb_np.shape[0], dtype=np.int64) * (GROUP_WORDS * 32)
+                ig_full = np.asarray(boffs).astype(np.int64) - np.repeat(base, PACK_GROUP)
+                metas[t] = (gb_np, ig_full, metas[t][2])
+                strides[t] = GROUP_WORDS
         wmaxes = []
         sliced = []
-        for (code, lo, mv_np, gw, gb, boffs, validp), (gb_np, _, _) in zip(pend, metas):
-            wmax = packer_wmax(gb_np, GROUP_WORDS)
+        for p, (gb_np, _, _), stride in zip(pend, metas, strides):
+            wmax = packer_wmax(gb_np, stride)
             wmaxes.append(wmax)
-            sliced.append(gw[:, :wmax])
+            sliced.append(p[3][:, :wmax])
         words_all = jax.device_get(sliced)
 
         mvs = []
         frame_sections = []
         frame_bits = np.zeros(T, dtype=np.uint64)
-        for t, ((code, lo, mv_np, _, _, _, _), (gb_np, boffs_np, valid_np),
-                words_np, wmax) in enumerate(zip(pend, metas, words_all, wmaxes)):
-            section = GroupedSection.from_packer_sliced(
-                words_np, gb_np, boffs_np, valid_np, PACK_GROUP, GROUP_WORDS, wmax
+        for t, ((code, lo, mv_np, *_), (gb_np, ig_np, valid_np),
+                words_np, wmax, stride) in enumerate(
+                    zip(pend, metas, words_all, wmaxes, strides)):
+            if int(np.asarray(ig_np).max(initial=0)) >= 1 << 16:
+                raise ValueError("in-group offset exceeds u16 sidecar range")
+            section = GroupedSection(
+                words=np.asarray(words_np),
+                group_word_counts=(
+                    (np.asarray(gb_np).astype(np.int64) + 31) // 32
+                ).astype(np.uint32),
+                block_offsets=np.asarray(ig_np).astype(np.uint16),
+                block_counts=np.asarray(valid_np).astype(np.uint8),
+                group_size=PACK_GROUP,
+                words_per_group=wmax,
             )
             frame_sections.append(
                 (Codebook(lo, np.asarray(code.lengths, dtype=np.uint8)), section)
@@ -603,13 +700,19 @@ class VideoCodec:
         return payload.to_bytes()
 
     @classmethod
-    def decode_from_container(cls, blob: bytes):
+    def decode_from_container(cls, blob: bytes, return_device: bool = False):
         """Reconstruct ``[T, H, W]`` float32 luma from bytes alone.
 
         A fresh process needs nothing but the blob: per-frame codebooks,
         MV streams and residual streams all come out of the container
         (unlike the reference decoder, which reads codebook metadata from
         encoder-side pickle files, ``exercises/ch4/E4-1.py:326-334``).
+
+        ``return_device=True`` returns ``(device [T, H, W] array, ok
+        flags)`` without the host fetch — at 1080p the reconstruction
+        download is ~66 MB and dominates decode wall time through the TPU
+        tunnel; device-resident consumers (metrics, re-encode, display
+        pipelines) should keep the frames on device.
         """
         from ivclab_tpu.ops.bitpack import decode_blocks_device, decode_tables
         from ivclab_tpu.ops.transform import inverse_reconstruct
@@ -671,6 +774,8 @@ class VideoCodec:
                 recon = pred + rrec
             recon_prev = recon
             recons.append(recon)
+        if return_device:
+            return jnp.stack(recons), jnp.stack(oks)
         recons_np, oks_np = jax.device_get((recons, oks))  # one batched fetch
         for t, ok in enumerate(oks_np):
             if not bool(ok):
@@ -784,7 +889,9 @@ class VideoCodec:
         # the per-frame device->host traffic collapses into two batched
         # fetches (stats, then pmfs); the rate reductions dispatch
         # asynchronously (fetched in phase 3)
-        stats = jax.device_get([(o[2], o[3], o[4], o[5]) for _, o in outs])
+        stats = jax.device_get(
+            [(o[2], o[3], o[4], o[5].astype(jnp.uint8)) for _, o in outs]
+        )
         pmf_pend = []
         for (_, (buf, valid, *_)), (mn_i, mx_i, hist_np, _) in zip(outs, stats):
             lo, hi = bucket_bounds(int(mn_i), int(mx_i))

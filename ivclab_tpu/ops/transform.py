@@ -159,6 +159,42 @@ def pack_symbols_grouped(buf, valid_len, enc_codes, enc_lens, lower_bound: int):
     return group_words, group_bits, block_offsets, total_bits
 
 
+# Speculative pack buckets for the per-frame-adaptive paths: measured
+# content at 1080p/q=1.0 peaks at ~51 used words per 16-block group, and
+# the full-stride (1600-word) packer costs 9x more than the 128-word one
+# (71 ms vs 8 ms per frame). Callers validate adequacy from the returned
+# (group_bits, offsets) — which are exact regardless of word truncation —
+# and fall back to :func:`pack_symbols_grouped` when content overflows.
+ADAPTIVE_WPG = 128   # words per group (power of two for the roll arena)
+ADAPTIVE_BW = 32     # per-block deposit buffer words
+
+
+@partial(jax.jit, static_argnames=("words_per_group", "block_words"))
+def pack_symbols_grouped_sized(buf, valid_len, enc_codes, enc_lens, lower_bound,
+                               words_per_group: int, block_words: int):
+    """Cap-sized grouped pack with TRACED tables and lower bound.
+
+    Same group-stream bits and in-group block offsets as
+    :func:`pack_symbols_grouped` wherever the buckets fit the content
+    (verified bit-for-bit on the adaptive workloads); ``lower_bound`` is a
+    traced operand so per-frame codebooks never retrace. Returns
+    ``(group_words [G, wpg], group_bits [G], block_offsets [N], total)``
+    with offsets at ``words_per_group`` stride.
+    """
+    from ivclab_tpu.ops.bitpack import pack_codes_grouped_dense2
+
+    N, cap = buf.shape
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    mask = pos[None, :] < valid_len[:, None]
+    idx = jnp.clip(buf - lower_bound, 0, enc_lens.shape[0] - 1)
+    lens = jnp.where(mask, enc_lens[idx], 0)
+    codes = jnp.where(mask, enc_codes[idx], 0)
+    words, group_bits, block_offsets = pack_codes_grouped_dense2(
+        codes, lens, PACK_GROUP, words_per_group, block_words
+    )
+    return words, group_bits, block_offsets, jnp.sum(group_bits)
+
+
 def map_codes_hot(buf, valid_len, hot_values, hot_fused, esc_code: int | None = None,
                   esc_len: int | None = None, raw_bits: int = 12):
     """Dense symbol -> (codeword, length) mapping for a hot+escape code.

@@ -416,7 +416,13 @@ class ShardedAdaptiveEncoder:
         self.policy = codebook_policy
         self.me_backend = me_backend
         self._phase1 = self._build_phase1()
-        self._phase2 = self._build_phase2()
+        from ivclab_tpu.ops.transform import ADAPTIVE_BW, ADAPTIVE_WPG
+
+        # speculative cap-sized pack (9x cheaper than full stride); the
+        # full-stride fallback compiles lazily on first bucket overflow
+        self._wpg, self._bw = ADAPTIVE_WPG, ADAPTIVE_BW
+        self._phase2 = self._build_phase2(self._wpg, self._bw)
+        self._phase2_full = None
 
     # ------------------------------------------------------------ phase 1
 
@@ -497,9 +503,11 @@ class ShardedAdaptiveEncoder:
 
     # ------------------------------------------------------------ phase 2
 
-    def _build_phase2(self):
-        from ivclab_tpu.ops.bitpack import pack_codes_grouped_dense
-        from ivclab_tpu.ops.transform import GROUP_WORDS, PACK_GROUP
+    def _build_phase2(self, wpg: int, bw: int | None):
+        from ivclab_tpu.ops.bitpack import (
+            pack_codes_grouped_dense, pack_codes_grouped_dense2,
+        )
+        from ivclab_tpu.ops.transform import PACK_GROUP
         from ivclab_tpu.ops.zerorun import BLOCK_CAP
 
         def pack_frame(buf_t, valid_t, codes_t, lens_t, lower_t):
@@ -512,11 +520,16 @@ class ShardedAdaptiveEncoder:
             idx = jnp.clip(buf_t - lower_t, 0, lens_t.shape[0] - 1)
             lens = jnp.where(mask, lens_t[idx], 0)
             codes = jnp.where(mask, codes_t[idx], 0)
-            words, gbits, boffs = pack_codes_grouped_dense(
-                codes, lens, PACK_GROUP, GROUP_WORDS
-            )
+            if bw is None:  # full-stride fallback (worst-case block buffer)
+                words, gbits, boffs = pack_codes_grouped_dense(
+                    codes, lens, PACK_GROUP, wpg
+                )
+            else:
+                words, gbits, boffs = pack_codes_grouped_dense2(
+                    codes, lens, PACK_GROUP, wpg, bw
+                )
             G = boffs.shape[0] // PACK_GROUP
-            base = (jnp.arange(G, dtype=jnp.int32) * (GROUP_WORDS * 32))
+            base = (jnp.arange(G, dtype=jnp.int32) * (wpg * 32))
             in_group = boffs - jnp.repeat(base, PACK_GROUP)
             return words, gbits, in_group
 
@@ -545,6 +558,24 @@ class ShardedAdaptiveEncoder:
         return jax.jit(sharded)
 
     # ------------------------------------------------------------ encode
+
+    @staticmethod
+    def _in_group_ok(gbits_np, in_group_np, wpg: int, bw: int) -> bool:
+        """Speculative-bucket adequacy from the (exact) sidecar outputs:
+        every group fits its ``wpg``-word buffer, every block its
+        ``bw``-word deposit window."""
+        import numpy as np
+
+        from ivclab_tpu.ops.transform import PACK_GROUP
+
+        gb = np.asarray(gbits_np).reshape(-1).astype(np.int64)
+        if gb.size == 0:
+            return True
+        if int(gb.max()) > wpg * 32:
+            return False
+        ig = np.asarray(in_group_np).reshape(-1, PACK_GROUP).astype(np.int64)
+        ends = np.concatenate([ig[:, 1:], gb[:, None]], axis=1)
+        return int(((ends - ig).max(initial=0) + 31) // 32) <= bw
 
     def encode(self, frames_y) -> list:
         """``[n_gop * gop_len, H, W]`` float32 -> one AdaptiveVideoPayload
@@ -600,14 +631,20 @@ class ShardedAdaptiveEncoder:
             lens_pad[t, : c.n] = c.lengths
             lowers[t] = c.lower_bound
 
-        words, gbits, in_group = self._phase2(
-            buf, valid, jnp.asarray(codes_pad), jnp.asarray(lens_pad),
-            jnp.asarray(lowers),
-        )
+        tables = (jnp.asarray(codes_pad), jnp.asarray(lens_pad), jnp.asarray(lowers))
+        words, gbits, in_group = self._phase2(buf, valid, *tables)
         gbits_np, offs_np, valid_np, mvs_np = jax.device_get(
             (gbits, in_group, valid, mvs)
         )
-        wmaxes = [packer_wmax(gbits_np[t], GROUP_WORDS) for t in range(T)]
+        stride = self._wpg
+        if not self._in_group_ok(gbits_np, offs_np, self._wpg, self._bw):
+            # content overflowed the speculative buckets: full-stride re-pack
+            if self._phase2_full is None:
+                self._phase2_full = self._build_phase2(GROUP_WORDS, None)
+            words, gbits, in_group = self._phase2_full(buf, valid, *tables)
+            gbits_np, offs_np = jax.device_get((gbits, in_group))
+            stride = GROUP_WORDS
+        wmaxes = [packer_wmax(gbits_np[t], stride) for t in range(T)]
         words_np = jax.device_get([words[t, :, : wmaxes[t]] for t in range(T)])
 
         # MV codebook: uniform pmf trained once (reference parity)

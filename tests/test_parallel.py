@@ -247,3 +247,24 @@ def test_sharded_adaptive_container_matches_single_device(foreman, policy):
         recons = VideoCodec.decode_from_container(blobs[g])
         ref_recons = VideoCodec.decode_from_container(ref_blob)
         assert np.array_equal(recons, ref_recons)
+
+
+def test_sharded_adaptive_pack_fallback_byte_identical(foreman, monkeypatch):
+    """Forcing the sharded adaptive encoder's speculative pack buckets to
+    overflow must route through the full-stride fallback with identical
+    container bytes."""
+    import ivclab_tpu.ops.transform as tf
+    from ivclab_tpu.parallel.video import ShardedAdaptiveEncoder
+
+    gop_len, n_tile = 2, 4
+    mesh = make_mesh(n_gop=2, n_tile=n_tile)
+    y = foreman[:4, :256, :352].astype(np.float32).mean(axis=-1)
+    band_h = y.shape[1] // n_tile
+
+    want = ShardedAdaptiveEncoder(mesh, gop_len, band_h, y.shape[2]).encode(y)
+    monkeypatch.setattr(tf, "ADAPTIVE_WPG", 8)
+    monkeypatch.setattr(tf, "ADAPTIVE_BW", 2)
+    enc = ShardedAdaptiveEncoder(mesh, gop_len, band_h, y.shape[2])
+    got = enc.encode(y)
+    assert enc._phase2_full is not None  # the fallback actually ran
+    assert got == want

@@ -281,3 +281,47 @@ def test_pack_gop_deferred_check_and_repack(small_video):
     codec._buckets = (cap, bw, GW_BUCKETS[0])
     healed = codec.pack_gop(qsyms)
     np.testing.assert_array_equal(np.asarray(healed.words), np.asarray(ref.words))
+
+
+def test_adaptive_sized_pack_fallback_byte_identical(rgb_video, monkeypatch):
+    """The adaptive paths pack speculatively with small cap-sized buckets
+    and fall back to the full-stride packer when content overflows
+    (validated exactly from the sidecar). Shrinking the buckets to force
+    the fallback must not change a single byte."""
+    import ivclab_tpu.ops.transform as tf
+    from ivclab_tpu.models.videocodec import VideoCodec
+    from ivclab_tpu.ops.color import rgb2ycbcr
+
+    y = np.asarray(rgb2ycbcr(rgb_video.astype(np.float32)))[..., 0]
+    want = VideoCodec(quantization_scale=1.0, codebook_policy="per-frame").encode_to_container(y)
+
+    monkeypatch.setattr(tf, "ADAPTIVE_WPG", 8)  # guaranteed overflow
+    monkeypatch.setattr(tf, "ADAPTIVE_BW", 2)
+    got = VideoCodec(quantization_scale=1.0, codebook_policy="per-frame").encode_to_container(y)
+    assert got == want
+
+    # facade per-frame blobs go through _pack_section's fallback too
+    rgb0 = rgb_video[0]
+    c1 = VideoCodec(quantization_scale=1.0)
+    c1.encode_decode(rgb0, frame_num=0)
+    _, blob_small, _ = c1.encode_decode(rgb_video[1], frame_num=1)
+    monkeypatch.undo()
+    c2 = VideoCodec(quantization_scale=1.0)
+    c2.encode_decode(rgb0, frame_num=0)
+    _, blob_full, _ = c2.encode_decode(rgb_video[1], frame_num=1)
+    assert blob_small == blob_full
+
+
+def test_adaptive_decode_return_device(rgb_video):
+    """return_device=True skips the host fetch and matches the host path."""
+    import jax
+
+    from ivclab_tpu.models.videocodec import VideoCodec
+    from ivclab_tpu.ops.color import rgb2ycbcr
+
+    y = np.asarray(rgb2ycbcr(rgb_video.astype(np.float32)))[..., 0]
+    blob = VideoCodec(quantization_scale=1.0, codebook_policy="per-frame").encode_to_container(y)
+    host = VideoCodec.decode_from_container(blob)
+    dev, oks = VideoCodec.decode_from_container(blob, return_device=True)
+    assert all(bool(o) for o in jax.device_get(oks))
+    assert np.array_equal(np.asarray(dev), host)
