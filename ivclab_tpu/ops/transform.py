@@ -66,10 +66,27 @@ def forward_symbolize(img_ycbcr, inv_qtable_zz, eob: int = 4000):
     inv = jnp.asarray(inv_qtable_zz, dtype=jnp.float32)
     scaled = coeffs.reshape(H // 8, W // 8, C, 64) * inv[None, None]
     qsym = jnp.round(scaled).astype(jnp.int32).reshape(-1, 64)
-    # dense (scatter-free) encode at the full BLOCK_CAP: identical buffers
-    # to zerorun_encode_blocks, but TPU scatters serialize (~10 ns/update)
-    # while the one-hot deposit is a fused VPU reduce
-    buf, valid_len = zerorun_encode_blocks_dense(qsym, 64, eob, BLOCK_CAP)
+    # dense (scatter-free) encode: identical buffers to
+    # zerorun_encode_blocks, but TPU scatters serialize (~10 ns/update)
+    # while the one-hot deposit is a fused VPU reduce. The deposit cost is
+    # linear in the slot capacity, and typical codec content peaks well
+    # under 32 symbols/block, so encode at a small capacity and zero-pad
+    # to BLOCK_CAP — falling back to the full-capacity pass (identical
+    # output) when any block overflows. One branch executes per call.
+    from ivclab_tpu.ops.zerorun import zerorun_counts
+
+    FAST_CAP = 32
+    counts = zerorun_counts(qsym, 64)
+
+    def fast():
+        buf_s, valid_s = zerorun_encode_blocks_dense(qsym, 64, eob, FAST_CAP)
+        pad = jnp.zeros((buf_s.shape[0], BLOCK_CAP - FAST_CAP), jnp.int32)
+        return jnp.concatenate([buf_s, pad], axis=1), valid_s
+
+    def full():
+        return zerorun_encode_blocks_dense(qsym, 64, eob, BLOCK_CAP)
+
+    buf, valid_len = jax.lax.cond(jnp.max(counts) <= FAST_CAP, fast, full)
     return buf, valid_len, qsym
 
 

@@ -95,3 +95,28 @@ def test_corrupt_stream_detected():
     coder = ZeroRunCoder()
     with pytest.raises(ValueError):
         coder.decode(np.array([1, 2, 3], dtype=np.int32), (2, 2, 1))
+
+
+def test_forward_symbolize_capacity_cond_parity(rng):
+    """forward_symbolize's capacity-bucketed zero-run encode (fast 32-slot
+    branch vs full BLOCK_CAP fallback) must match the reference scatter
+    encoder on both smooth content (fast branch) and dense noise content
+    that overflows 32 symbols per block (full branch)."""
+    import jax.numpy as jnp
+
+    from ivclab_tpu.ops.quant import quant_table_zigzag
+    from ivclab_tpu.ops.transform import forward_symbolize
+    from ivclab_tpu.ops.zerorun import zerorun_encode_blocks
+
+    qt = quant_table_zigzag(1.0, 1)
+    inv = jnp.asarray((1.0 / qt).astype(np.float32))
+    smooth = np.tile(np.linspace(0, 255, 32, dtype=np.float32)[:, None], (1, 32))[..., None]
+    noise = (rng.random((32, 32, 1)) * 255).astype(np.float32) * 40  # dense coeffs
+    for img in (smooth, noise):
+        buf, valid, qsym = forward_symbolize(jnp.asarray(img), inv, 4000)
+        want_buf, want_valid = zerorun_encode_blocks(qsym, 64, 4000)
+        assert np.array_equal(np.asarray(valid), np.asarray(want_valid))
+        assert np.array_equal(np.asarray(buf), np.asarray(want_buf))
+    # the noise content actually exercised the full branch
+    _, valid_n, _ = forward_symbolize(jnp.asarray(noise), inv, 4000)
+    assert int(np.asarray(valid_n).max()) > 32
