@@ -123,6 +123,12 @@ def main():
     codec.pack_gop(codec.encode_gop(dev_y)[0])  # establish sticky buckets
     recons, bits, ok, enc_recons, p, qsyms_w, mvs_w = roundtrip()
     recons.block_until_ready()
+    # warm the ok-flag AND reduction: the timed loops accumulate
+    # `ok & p.ok` on device, and its FIRST use triggers a ~400 ms XLA
+    # compile (remote-compile tunnel) — this uncached tiny-op compile
+    # landing inside the timed region was the entire r4 "cold-start dip"
+    # (and inflated the stream's first-GOP latency to ~460 ms)
+    jax.block_until_ready(ok & p.ok)
     assert bool(ok) and bool(p.ok), "entropy decode / pack buckets failed"
     err = float(abs(np.asarray(recons) - np.asarray(enc_recons)).max())
     assert err < 1e-2, f"decoder mismatch: {err}"
