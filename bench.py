@@ -218,22 +218,36 @@ def main():
             blob = acodec.encode_to_container(dev_y)
             enc_dts.append(time.perf_counter() - t0)
         enc_dt = float(np.median(enc_dts))
-        VideoCodec.decode_from_container(blob)  # compile + warm
+        # compile + warm the SAME path that is timed (the host-path warm
+        # left the device-return stack ops uncompiled, which put fresh
+        # remote compiles inside the timed region)
+        jax.block_until_ready(
+            VideoCodec.decode_from_container(blob, return_device=True)[0]
+        )
+        # device-resident decode (the serving path) vs the 66 MB host
+        # reconstruction download, reported separately: the fetch is
+        # tunnel-bandwidth-bound, not codec work
         t0 = time.perf_counter()
-        arec = VideoCodec.decode_from_container(blob)
+        arec_dev, _ = VideoCodec.decode_from_container(blob, return_device=True)
+        jax.block_until_ready(arec_dev)
         dec_dt = time.perf_counter() - t0
-        amse = np.mean((np.asarray(arec) - y) ** 2, axis=(1, 2))
+        t0 = time.perf_counter()
+        arec = np.asarray(arec_dev)
+        fetch_dt = time.perf_counter() - t0
+        amse = np.mean((arec - y) ** 2, axis=(1, 2))
         apsnr = float(np.mean(20 * np.log10(255.0 / np.sqrt(np.maximum(amse, 1e-12)))))
         adaptive = {
             "encode_mpix_per_s": round(gop_pixels / enc_dt / 1e6, 2),
             "encode_fps": round(T / enc_dt, 2),
             "decode_mpix_per_s": round(gop_pixels / dec_dt / 1e6, 2),
             "decode_fps": round(T / dec_dt, 2),
+            "recon_fetch_ms": round(1000 * fetch_dt, 1),
             "psnr_y_db": round(apsnr, 2),
             "container_bytes": len(blob),
             "note": (
                 "per-frame codebook retraining (reference AdaptiveVideoCodec "
-                "flagship policy), self-contained container in/out"
+                "flagship policy), self-contained container in/out; decode "
+                "is device-resident, recon_fetch_ms is the host download"
             ),
         }
 
