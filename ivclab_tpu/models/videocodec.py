@@ -130,7 +130,11 @@ def _pframe_device_step(y, recon_prev, t, inv_qt, qt, sr: int, eob: int):
     recon_residual = inverse_reconstruct(qsym, qt, (H, W, 1))[:, :, 0]
     recon = pred + recon_residual
     mn, mx, hist = _stream_histogram(buf, valid, eob)
-    return buf, valid, mn, mx, hist, mv, recon
+    # vmax lets the host pick the pack's symbol-capacity slice BEFORE
+    # dispatching it: the code-table gathers are ~8 ns/element on TPU, so
+    # mapping the full 128-slot buffers cost 66 ms/frame at 1080p vs
+    # ~17 ms over the 32-slot prefix that typical content fits in
+    return buf, valid, mn, mx, hist, mv, recon, jnp.max(valid)
 
 
 @jax.jit
@@ -579,7 +583,7 @@ class VideoCodec:
 
         # mv fields narrow to u8 for the fetch (indices < (2sr+1)^2 = 81)
         stats = jax.device_get(
-            [(o[2], o[3], o[4], o[5].astype(jnp.uint8)) for o in outs]
+            [(o[2], o[3], o[4], o[5].astype(jnp.uint8), o[7]) for o in outs]
         )
 
         # phase 2b-i: dispatch every frame's pmf (device ops identical to
@@ -587,7 +591,7 @@ class VideoCodec:
         # batched device_get — per-frame fetches cost a ~26 ms tunnel
         # round trip each
         pmf_pend = []
-        for (buf, valid, *_), (mn_i, mx_i, hist_np, _) in zip(outs, stats):
+        for (buf, valid, *_), (mn_i, mx_i, hist_np, _, _) in zip(outs, stats):
             lo, hi = bucket_bounds(int(mn_i), int(mx_i))
             if _HIST_LO <= lo and hi <= _HIST_HI:
                 hist = jnp.asarray(hist_np[lo - _HIST_LO : hi - _HIST_LO])
@@ -600,19 +604,23 @@ class VideoCodec:
         # cap-sized pack dispatches (ADAPTIVE_WPG/ADAPTIVE_BW buckets; the
         # full-stride packer costs 9x more device time)
         from ivclab_tpu.ops.transform import (
-            ADAPTIVE_BW, ADAPTIVE_WPG, GROUP_WORDS, PACK_GROUP,
+            ADAPTIVE_BW, ADAPTIVE_WPG, GROUP_WORDS, PACK_GROUP, cap_slice,
             pack_symbols_grouped_sized,
         )
 
         pend = []
-        for ((buf, valid, *_), (_, _, _, mv_np), (lo, _), pmf_np) in zip(
+        for ((buf, valid, *_), (_, _, _, mv_np, vmax), (lo, _), pmf_np) in zip(
             outs, stats, pmf_pend, pmfs
         ):
             coder = HuffmanCoder(lower_bound=lo).train(np.asarray(pmf_np, dtype=np.float64))
             code = coder.code
             bufp, validp, _ = _pad_blocks(buf, valid)
+            # capacity slice picked from the already-fetched per-frame max
+            # symbol count: the code-table gathers dominate the pack, and
+            # slots past the max count are masked anyway
+            cap = cap_slice(int(vmax), bufp.shape[1])
             gw, gb, boffs, _ = pack_symbols_grouped_sized(
-                bufp, validp, jnp.asarray(code.codes), jnp.asarray(code.lengths),
+                bufp[:, :cap], validp, jnp.asarray(code.codes), jnp.asarray(code.lengths),
                 jnp.int32(lo), ADAPTIVE_WPG, ADAPTIVE_BW,
             )
             compact = _compact_sidecar(gb, boffs, validp, ADAPTIVE_WPG)
@@ -853,7 +861,7 @@ class VideoCodec:
         if H % 8 or W % 8:
             raise ValueError("pipelined path needs frame dims divisible by 8")
         from ivclab_tpu.entropy.stats import smooth_pmf
-        from ivclab_tpu.ops.transform import symbol_histogram
+        from ivclab_tpu.ops.transform import cap_slice, symbol_histogram
 
         # stays on device end to end, and uint8 sources upload as uint8:
         # host->device traffic through the TPU tunnel is the next
@@ -890,10 +898,10 @@ class VideoCodec:
         # fetches (stats, then pmfs); the rate reductions dispatch
         # asynchronously (fetched in phase 3)
         stats = jax.device_get(
-            [(o[2], o[3], o[4], o[5].astype(jnp.uint8)) for _, o in outs]
+            [(o[2], o[3], o[4], o[5].astype(jnp.uint8), o[7]) for _, o in outs]
         )
         pmf_pend = []
-        for (_, (buf, valid, *_)), (mn_i, mx_i, hist_np, _) in zip(outs, stats):
+        for (_, (buf, valid, *_)), (mn_i, mx_i, hist_np, _, _) in zip(outs, stats):
             lo, hi = bucket_bounds(int(mn_i), int(mx_i))
             if _HIST_LO <= lo and hi <= _HIST_HI:
                 h = jnp.asarray(hist_np[lo - _HIST_LO : hi - _HIST_LO])
@@ -905,11 +913,14 @@ class VideoCodec:
         pmfs = jax.device_get([p for _, p in pmf_pend])
 
         pending = []
-        for (local_t, (buf, valid, _, _, _, _, recon)), (_, _, _, mv_np), (
+        for (local_t, (buf, valid, _, _, _, _, recon, _)), (_, _, _, mv_np, vmax), (
             lo, _), pmf_np in zip(outs, stats, pmf_pend, pmfs):
             coder = HuffmanCoder(lower_bound=lo).train(np.asarray(pmf_np, dtype=np.float64))
             code = coder.code
-            bits_dev = _masked_code_bits(buf, valid, jnp.asarray(code.lengths), jnp.int32(lo))
+            cap = cap_slice(int(vmax), buf.shape[1])
+            bits_dev = _masked_code_bits(
+                buf[:, :cap], valid, jnp.asarray(code.lengths), jnp.int32(lo)
+            )
             extra = 0
             if local_t > 0:
                 # serialized codebook charge, P-frames only (facade parity:

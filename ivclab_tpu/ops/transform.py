@@ -186,6 +186,21 @@ ADAPTIVE_WPG = 128   # words per group (power of two for the roll arena)
 ADAPTIVE_BW = 32     # per-block deposit buffer words
 
 
+# symbol-capacity buckets for the adaptive pack's gather domain: the
+# code-table gathers are the pack's dominant cost (~8 ns/element), so the
+# dispatcher slices the buffers to the smallest bucket holding the frame's
+# measured max symbol count (one compiled variant per bucket)
+CAP_SLICES = (32, 48, 64, 96, 128)
+
+
+def cap_slice(vmax: int, full: int) -> int:
+    """Smallest capacity bucket holding ``vmax`` symbols (else ``full``)."""
+    for c in CAP_SLICES:
+        if c >= vmax and c <= full:
+            return c
+    return full
+
+
 @partial(jax.jit, static_argnames=("words_per_group", "block_words"))
 def pack_symbols_grouped_sized(buf, valid_len, enc_codes, enc_lens, lower_bound,
                                words_per_group: int, block_words: int):
@@ -194,9 +209,12 @@ def pack_symbols_grouped_sized(buf, valid_len, enc_codes, enc_lens, lower_bound,
     Same group-stream bits and in-group block offsets as
     :func:`pack_symbols_grouped` wherever the buckets fit the content
     (verified bit-for-bit on the adaptive workloads); ``lower_bound`` is a
-    traced operand so per-frame codebooks never retrace. Returns
-    ``(group_words [G, wpg], group_bits [G], block_offsets [N], total)``
-    with offsets at ``words_per_group`` stride.
+    traced operand so per-frame codebooks never retrace. The per-symbol
+    table lookup is ONE gather of a fused ``(code << 6) | len`` u32 table
+    (codes <= 16+6 bits under MAX_CODE_LEN=16) — gathers dominate the
+    pack, and fusing halves them. Returns ``(group_words [G, wpg],
+    group_bits [G], block_offsets [N], total)`` with offsets at
+    ``words_per_group`` stride.
     """
     from ivclab_tpu.ops.bitpack import pack_codes_grouped_dense2
 
@@ -204,8 +222,10 @@ def pack_symbols_grouped_sized(buf, valid_len, enc_codes, enc_lens, lower_bound,
     pos = jnp.arange(cap, dtype=jnp.int32)
     mask = pos[None, :] < valid_len[:, None]
     idx = jnp.clip(buf - lower_bound, 0, enc_lens.shape[0] - 1)
-    lens = jnp.where(mask, enc_lens[idx], 0)
-    codes = jnp.where(mask, enc_codes[idx], 0)
+    fused_table = (enc_codes.astype(jnp.uint32) << 6) | enc_lens.astype(jnp.uint32)
+    fused = jnp.where(mask, fused_table[idx], 0)
+    lens = (fused & 63).astype(jnp.int32)
+    codes = fused >> 6
     words, group_bits, block_offsets = pack_codes_grouped_dense2(
         codes, lens, PACK_GROUP, words_per_group, block_words
     )

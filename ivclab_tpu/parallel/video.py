@@ -419,10 +419,12 @@ class ShardedAdaptiveEncoder:
         from ivclab_tpu.ops.transform import ADAPTIVE_BW, ADAPTIVE_WPG
 
         # speculative cap-sized pack (9x cheaper than full stride); the
-        # full-stride fallback compiles lazily on first bucket overflow
+        # 32-slot capacity variant compiles eagerly (typical content),
+        # the 128-slot and full-stride fallbacks lazily on first need
         self._wpg, self._bw = ADAPTIVE_WPG, ADAPTIVE_BW
-        self._phase2 = self._build_phase2(self._wpg, self._bw)
+        self._phase2_cache = {}
         self._phase2_full = None
+        self._get_phase2(32)
 
     # ------------------------------------------------------------ phase 1
 
@@ -474,7 +476,8 @@ class ShardedAdaptiveEncoder:
                 mn = jax.lax.pmin(mn, "tile")
                 mx = jax.lax.pmax(mx, "tile")
                 hist = jax.lax.psum(hist, "tile")
-                return recon, (buf, valid, mn, mx, hist, mv, recon)
+                vmax = jax.lax.pmax(jnp.max(valid), "tile")
+                return recon, (buf, valid, mn, mx, hist, mv, recon, vmax)
 
             ts = jnp.arange(gop_len, dtype=jnp.int32)
             _, outs = jax.lax.scan(
@@ -496,6 +499,7 @@ class ShardedAdaptiveEncoder:
                 P("gop", None),          # hist [T, nbins] (tile-reduced)
                 P("gop", "tile", None),  # mv [T, hb, wb]
                 P("gop", "tile", None),  # recons [T, band, W]
+                P("gop"),                # vmax [T] (tile-reduced)
             ),
             check_vma=False,
         )
@@ -503,7 +507,13 @@ class ShardedAdaptiveEncoder:
 
     # ------------------------------------------------------------ phase 2
 
-    def _build_phase2(self, wpg: int, bw: int | None):
+    def _get_phase2(self, cap: int):
+        """Phase-2 program for a symbol-capacity slice (compiled lazily)."""
+        if cap not in self._phase2_cache:
+            self._phase2_cache[cap] = self._build_phase2(self._wpg, self._bw, cap)
+        return self._phase2_cache[cap]
+
+    def _build_phase2(self, wpg: int, bw: int | None, cap: int | None = None):
         from ivclab_tpu.ops.bitpack import (
             pack_codes_grouped_dense, pack_codes_grouped_dense2,
         )
@@ -514,8 +524,13 @@ class ShardedAdaptiveEncoder:
             # inlined pack_symbols_grouped with TRACED per-frame tables
             # (the wrapper's static lower_bound would retrace per frame);
             # the clip bound differs from the exact-alphabet call only for
-            # out-of-range symbols, which the per-frame code excludes
-            pos = jnp.arange(BLOCK_CAP, dtype=jnp.int32)
+            # out-of-range symbols, which the per-frame code excludes.
+            # The capacity slice shrinks the code-table gathers (the pack's
+            # dominant cost at ~8 ns/element); slots past every block's
+            # count are masked, so any adequate slice packs identically.
+            if cap is not None:
+                buf_t = buf_t[:, :cap]
+            pos = jnp.arange(buf_t.shape[1], dtype=jnp.int32)
             mask = pos[None, :] < valid_t[:, None]
             idx = jnp.clip(buf_t - lower_t, 0, lens_t.shape[0] - 1)
             lens = jnp.where(mask, lens_t[idx], 0)
@@ -604,9 +619,9 @@ class ShardedAdaptiveEncoder:
         T = frames_y.shape[0]
         assert T == n_gop * gop_len and frames_y.shape[1:] == (H, W)
 
-        buf, valid, mn, mx, hist, mvs, recons = self._phase1(frames_y)
-        stats = jax.device_get((mn, mx, hist))
-        mn_np, mx_np, hist_np = stats
+        buf, valid, mn, mx, hist, mvs, recons, vmax = self._phase1(frames_y)
+        stats = jax.device_get((mn, mx, hist, vmax))
+        mn_np, mx_np, hist_np, vmax_np = stats
 
         # host tree builds (device pmf ops identical to the single-device
         # path -> identical canonical codes)
@@ -632,7 +647,11 @@ class ShardedAdaptiveEncoder:
             lowers[t] = c.lower_bound
 
         tables = (jnp.asarray(codes_pad), jnp.asarray(lens_pad), jnp.asarray(lowers))
-        words, gbits, in_group = self._phase2(buf, valid, *tables)
+        from ivclab_tpu.ops.zerorun import BLOCK_CAP as _BC
+        from ivclab_tpu.ops.transform import cap_slice
+
+        cap = cap_slice(int(np.max(vmax_np)), _BC)
+        words, gbits, in_group = self._get_phase2(cap)(buf, valid, *tables)
         gbits_np, offs_np, valid_np, mvs_np = jax.device_get(
             (gbits, in_group, valid, mvs)
         )
