@@ -95,8 +95,7 @@ def _stream_histogram(buf, valid, eob: int):
     return mn, mx, hist
 
 
-@partial(jax.jit, static_argnames=("sr", "eob"))
-def _pframe_device_step(y, recon_prev, t, inv_qt, qt, sr: int, eob: int):
+def _pframe_core(y, recon_prev, t, inv_qt, qt, sr: int, eob: int):
     """One frame's device work for the pipelined adaptive path.
 
     Everything the codebook does NOT gate: motion search + compensation
@@ -135,6 +134,33 @@ def _pframe_device_step(y, recon_prev, t, inv_qt, qt, sr: int, eob: int):
     # mapping the full 128-slot buffers cost 66 ms/frame at 1080p vs
     # ~17 ms over the 32-slot prefix that typical content fits in
     return buf, valid, mn, mx, hist, mv, recon, jnp.max(valid)
+
+
+@partial(jax.jit, static_argnames=("sr", "eob"))
+def _pframe_device_step(y, recon_prev, t, inv_qt, qt, sr: int, eob: int):
+    """Single-frame dispatch of :func:`_pframe_core` (tests/tools)."""
+    return _pframe_core(y, recon_prev, t, inv_qt, qt, sr, eob)
+
+
+@partial(jax.jit, static_argnames=("sr", "eob"))
+def _pframe_device_scan(frames_y, ts, inv_qt, qt, sr: int, eob: int):
+    """One ``lax.scan`` over the per-frame device step: the WHOLE
+    sequence's ME/MC/transform/histogram pipeline is a single dispatch
+    (the per-frame dispatch chain cost ~5 ms of host work per frame and
+    let tunnel scheduling gaps creep between programs). ``ts`` carries
+    the in-GOP frame indices (``t % gop_size`` for GOP restarts), so one
+    compiled program serves every GOP structure of the same shape.
+    Outputs are the stacked per-frame tuples of :func:`_pframe_core`.
+    """
+    def body(recon_prev, inputs):
+        t, y = inputs
+        out = _pframe_core(y, recon_prev, t, inv_qt, qt, sr, eob)
+        return out[6], out
+
+    _, outs = jax.lax.scan(
+        body, jnp.zeros(frames_y.shape[1:], jnp.float32), (ts, frames_y)
+    )
+    return outs
 
 
 @jax.jit
@@ -561,19 +587,13 @@ class VideoCodec:
             self._motion_trained = True
         mv_code = self.motion_huffman.code
 
-        # phase 1: dispatch every frame's device work up front (the same
-        # pipelined structure as encode_decode_sequence_pipelined — the
-        # closed-loop recon chain stays on device; ME/MC/transform/histogram
-        # for frame t+1 execute while the host packs frame t). Ops and
-        # operands are identical to the serial facade, so the bytes are too.
-        outs = []
-        recon_prev = jnp.zeros((H, W), jnp.float32)
-        for t in range(T):
-            out = _pframe_device_step(
-                y_dev[t], recon_prev, jnp.int32(t), inv_qt, qt, sr, eob
-            )
-            recon_prev = out[6]
-            outs.append(out)
+        # phase 1: ONE scan dispatch for every frame's device work (the
+        # same pipelined structure as encode_decode_sequence_pipelined —
+        # the closed-loop recon chain stays on device). Ops and operands
+        # are identical to the serial facade, so the bytes are too.
+        bufs, valids, _, _, _, mvs_dev, recons_dev, _ = outs = _pframe_device_scan(
+            y_dev, jnp.arange(T, dtype=jnp.int32), inv_qt, qt, sr, eob
+        )
 
         # phase 2a: ONE batched fetch for every frame's training stats + MVs
         # (each tunnel round trip is ~26 ms of pure latency; per-frame
@@ -582,8 +602,8 @@ class VideoCodec:
         from ivclab_tpu.ops.transform import pack_symbols_grouped
 
         # mv fields narrow to u8 for the fetch (indices < (2sr+1)^2 = 81)
-        stats = jax.device_get(
-            [(o[2], o[3], o[4], o[5].astype(jnp.uint8), o[7]) for o in outs]
+        mn_np, mx_np, hist_all, mv_all, vmax_np = jax.device_get(
+            (outs[2], outs[3], outs[4], mvs_dev.astype(jnp.uint8), outs[7])
         )
 
         # phase 2b-i: dispatch every frame's pmf (device ops identical to
@@ -591,12 +611,12 @@ class VideoCodec:
         # batched device_get — per-frame fetches cost a ~26 ms tunnel
         # round trip each
         pmf_pend = []
-        for (buf, valid, *_), (mn_i, mx_i, hist_np, _, _) in zip(outs, stats):
-            lo, hi = bucket_bounds(int(mn_i), int(mx_i))
+        for t in range(T):
+            lo, hi = bucket_bounds(int(mn_np[t]), int(mx_np[t]))
             if _HIST_LO <= lo and hi <= _HIST_HI:
-                hist = jnp.asarray(hist_np[lo - _HIST_LO : hi - _HIST_LO])
+                hist = jnp.asarray(hist_all[t, lo - _HIST_LO : hi - _HIST_LO])
             else:  # pathological bounds: fall back to a direct histogram
-                hist = symbol_histogram(buf, valid, lo, hi)
+                hist = symbol_histogram(bufs[t], valids[t], lo, hi)
             pmf_pend.append((lo, smooth_pmf(hist.astype(jnp.float32) / jnp.sum(hist))))
         pmfs = jax.device_get([p for _, p in pmf_pend])
 
@@ -609,22 +629,20 @@ class VideoCodec:
         )
 
         pend = []
-        for ((buf, valid, *_), (_, _, _, mv_np, vmax), (lo, _), pmf_np) in zip(
-            outs, stats, pmf_pend, pmfs
-        ):
+        for t, ((lo, _), pmf_np) in enumerate(zip(pmf_pend, pmfs)):
             coder = HuffmanCoder(lower_bound=lo).train(np.asarray(pmf_np, dtype=np.float64))
             code = coder.code
-            bufp, validp, _ = _pad_blocks(buf, valid)
+            bufp, validp, _ = _pad_blocks(bufs[t], valids[t])
             # capacity slice picked from the already-fetched per-frame max
             # symbol count: the code-table gathers dominate the pack, and
             # slots past the max count are masked anyway
-            cap = cap_slice(int(vmax), bufp.shape[1])
+            cap = cap_slice(int(vmax_np[t]), bufp.shape[1])
             gw, gb, boffs, _ = pack_symbols_grouped_sized(
                 bufp[:, :cap], validp, jnp.asarray(code.codes), jnp.asarray(code.lengths),
                 jnp.int32(lo), ADAPTIVE_WPG, ADAPTIVE_BW,
             )
             compact = _compact_sidecar(gb, boffs, validp, ADAPTIVE_WPG)
-            pend.append([code, lo, mv_np, gw, compact, bufp, validp])
+            pend.append([code, lo, mv_all[t], gw, compact, bufp, validp])
 
         # phase 2c: batched COMPACT sidecar fetch (u16 group bits + u16
         # in-group offsets + u8 counts — the encode is tunnel-bandwidth-
@@ -686,7 +704,7 @@ class VideoCodec:
                 if self.codebook_policy == "adaptive":
                     bits += 8 * ((8 + code.n) + 12)
             frame_bits[t] = bits
-        self.decoder_recon = outs[-1][6]  # fetched lazily if the caller reads it
+        self.decoder_recon = recons_dev[-1]  # fetched lazily if the caller reads it
 
         mv_flat = (
             np.stack(mvs).reshape(-1).astype(np.int32)
@@ -872,18 +890,16 @@ class VideoCodec:
         qt_np, inv_np = self.intra_codec._tables(1)
         qt, inv_qt = jnp.asarray(qt_np), jnp.asarray(inv_np)
 
-        # phase 1: dispatch every frame's device step (async); the scan
-        # dependency recon_{t-1} -> frame t stays on device
-        outs = []
-        recon_prev = jnp.zeros((H, W), jnp.float32)
-        for t in range(T):
-            local_t = t if gop_size is None else t % gop_size
-            out = _pframe_device_step(
-                y[t], recon_prev, jnp.int32(local_t), inv_qt, qt,
-                self.search_range, self.end_of_block,
-            )
-            recon_prev = out[6]
-            outs.append((local_t, out))
+        # phase 1: ONE scan dispatch over the whole sequence; the
+        # dependency recon_{t-1} -> frame t stays on device. The in-GOP
+        # frame indices ride in as data, so one compiled program serves
+        # every gop_size.
+        local_ts = np.arange(T) if gop_size is None else np.arange(T) % gop_size
+        outs = _pframe_device_scan(
+            y, jnp.asarray(local_ts, dtype=jnp.int32), inv_qt, qt,
+            self.search_range, self.end_of_block,
+        )
+        bufs, valids, _, _, _, _, recons_dev, _ = outs
 
         # MV codebook: uniform pmf trained once (reference videocodec.py:57-60)
         n_mv = (2 * self.search_range + 1) ** 2
@@ -897,44 +913,42 @@ class VideoCodec:
         # the per-frame device->host traffic collapses into two batched
         # fetches (stats, then pmfs); the rate reductions dispatch
         # asynchronously (fetched in phase 3)
-        stats = jax.device_get(
-            [(o[2], o[3], o[4], o[5].astype(jnp.uint8), o[7]) for _, o in outs]
+        mn_np, mx_np, hist_all, mv_all, vmax_np = jax.device_get(
+            (outs[2], outs[3], outs[4], outs[5].astype(jnp.uint8), outs[7])
         )
         pmf_pend = []
-        for (_, (buf, valid, *_)), (mn_i, mx_i, hist_np, _, _) in zip(outs, stats):
-            lo, hi = bucket_bounds(int(mn_i), int(mx_i))
+        for t in range(T):
+            lo, hi = bucket_bounds(int(mn_np[t]), int(mx_np[t]))
             if _HIST_LO <= lo and hi <= _HIST_HI:
-                h = jnp.asarray(hist_np[lo - _HIST_LO : hi - _HIST_LO])
+                h = jnp.asarray(hist_all[t, lo - _HIST_LO : hi - _HIST_LO])
             else:  # pathological bounds: fall back to a direct histogram
-                h = symbol_histogram(buf, valid, lo, hi)
+                h = symbol_histogram(bufs[t], valids[t], lo, hi)
             # same device ops on the same integer counts as the serial
             # facade -> bit-identical pmf -> identical canonical code
             pmf_pend.append((lo, smooth_pmf(h.astype(jnp.float32) / jnp.sum(h))))
         pmfs = jax.device_get([p for _, p in pmf_pend])
 
         pending = []
-        for (local_t, (buf, valid, _, _, _, _, recon, _)), (_, _, _, mv_np, vmax), (
-            lo, _), pmf_np in zip(outs, stats, pmf_pend, pmfs):
+        for t, ((lo, _), pmf_np) in enumerate(zip(pmf_pend, pmfs)):
             coder = HuffmanCoder(lower_bound=lo).train(np.asarray(pmf_np, dtype=np.float64))
             code = coder.code
-            cap = cap_slice(int(vmax), buf.shape[1])
+            cap = cap_slice(int(vmax_np[t]), bufs.shape[2])
             bits_dev = _masked_code_bits(
-                buf[:, :cap], valid, jnp.asarray(code.lengths), jnp.int32(lo)
+                bufs[t, :, :cap], valids[t], jnp.asarray(code.lengths), jnp.int32(lo)
             )
             extra = 0
-            if local_t > 0:
+            if int(local_ts[t]) > 0:
                 # serialized codebook charge, P-frames only (facade parity:
                 # _code_residual_plane; blob = 8B header + n lengths, +12B)
                 if self.codebook_policy == "adaptive":
                     extra += 8 * ((8 + code.n) + 12)
-                extra += int(np.sum(mv_lens[mv_np.reshape(-1)]))
-            pending.append((bits_dev, extra, recon))
+                extra += int(np.sum(mv_lens[mv_all[t].reshape(-1)]))
+            pending.append((bits_dev, extra))
 
         # phase 3: drain the async rate reductions
-        bits_frames = [int(b) + extra for b, extra, _ in pending]
-        recons_y = [recon for _, _, recon in pending]
+        bits_frames = [int(b) + extra for b, extra in pending]
 
-        recon_y = jnp.clip(jnp.stack(recons_y), 0, 255)[..., None]
+        recon_y = jnp.clip(recons_dev, 0, 255)[..., None]
         recon_ycbcr = jnp.concatenate([recon_y, ycbcr[..., 1:]], axis=-1)
         # truncating uint8 cast matches the facade's np astype(np.uint8)
         recons_rgb = np.asarray(ycbcr2rgb(recon_ycbcr).astype(jnp.uint8))
