@@ -428,7 +428,8 @@ def _gop_info(blob: bytes) -> dict:
 
 def cmd_info(args):
     from ivclab_tpu.runtime.container import (
-        KIND_VIDEO_ADAPTIVE, KIND_VIDEO_GOP, IntraPayload,
+        KIND_PFRAME, KIND_VIDEO_ADAPTIVE, KIND_VIDEO_GOP,
+        IntraPayload, PFramePayload,
     )
 
     data = Path(args.input).read_bytes()
@@ -441,6 +442,18 @@ def cmd_info(args):
         return
     if len(data) > 10 and data[:4] == b"IVC1" and data[6] == KIND_VIDEO_GOP:
         print(json.dumps(_gop_info(data)))
+        return
+    if len(data) > 10 and data[:4] == b"IVC1" and data[6] == KIND_PFRAME:
+        p = PFramePayload.from_bytes(data)
+        print(json.dumps({
+            "kind": "p-frame",
+            "shape": list(p.shape),
+            "quantization_scale": p.quantization_scale,
+            "search_range": p.search_range,
+            "payload_bits": p.payload_bits,
+            "container_bytes": p.container_bytes,
+            "residual_codebook_symbols": int(p.residual_codebook.lengths.size),
+        }))
         return
     p = IntraPayload.from_bytes(data)
     print(

@@ -174,6 +174,8 @@ class IntraPayload:
             raise ValueError("not an IVC1 container")
         if version != VERSION:
             raise ValueError(f"unsupported container version {version}")
+        if kind not in (KIND_INTRA, KIND_PLANE):
+            raise ValueError(f"not an intra/plane container (kind={kind})")
         if not (0 < H <= MAX_DIM and 0 < W <= MAX_DIM and C <= 4):
             raise ValueError(f"implausible image shape ({H}, {W}, {C})")
         codebook = Codebook.from_buffer(r)
