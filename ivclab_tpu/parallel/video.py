@@ -518,7 +518,6 @@ class ShardedAdaptiveEncoder:
             pack_codes_grouped_dense, pack_codes_grouped_dense2,
         )
         from ivclab_tpu.ops.transform import PACK_GROUP
-        from ivclab_tpu.ops.zerorun import BLOCK_CAP
 
         def pack_frame(buf_t, valid_t, codes_t, lens_t, lower_t):
             # inlined pack_symbols_grouped with TRACED per-frame tables
