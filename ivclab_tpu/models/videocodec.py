@@ -264,30 +264,54 @@ def _pack_section(buf, valid, code):
 def _pack_flat_section(flat_syms, code):
     """Pack a flat symbol stream (e.g. motion indices) as 64-symbol blocks.
 
-    The section is width-sliced to the measured used words, like the
-    residual sections: a full-stride (GROUP_WORDS=1600) MV section made
-    ``device_views`` materialize a mostly-zero word buffer per decode."""
-    from ivclab_tpu.ops.transform import GROUP_WORDS, PACK_GROUP, pack_symbols_grouped
+    Packed ON HOST through the C++ serial engine: motion streams are tiny
+    (tens of KB), and the previous device pack cost five sequential
+    blocking tunnel round trips (~146 ms per GOP — a quarter of the whole
+    adaptive encode). The group-stream layout (MSB-first blocks
+    concatenated per 16-block group, word-aligned group starts, u16
+    in-group offsets, width-sliced words) is byte-identical to the device
+    packer's; ``tests/test_video_container.py`` asserts the containers.
+    """
+    from ivclab_tpu.ops.transform import GROUP_WORDS, PACK_GROUP
+    from ivclab_tpu.runtime import native
     from ivclab_tpu.runtime.container import GroupedSection, packer_wmax
 
     S = 64
     M = int(np.asarray(flat_syms).size)
     n_blocks = max(-(-M // S), 1)
     n_blocks = -(-n_blocks // PACK_GROUP) * PACK_GROUP
-    padded = np.zeros(n_blocks * S, dtype=np.int32)
-    padded[:M] = np.asarray(flat_syms, dtype=np.int32).reshape(-1)
-    buf = jnp.asarray(padded.reshape(n_blocks, S))
-    counts = jnp.asarray(np.clip(M - np.arange(n_blocks) * S, 0, S).astype(np.int32))
-    gw, gb, boffs, total = pack_symbols_grouped(
-        buf, counts, jnp.asarray(code.codes), jnp.asarray(code.lengths), code.lower_bound
+    padded = np.zeros(n_blocks * S, dtype=np.int64)
+    padded[:M] = np.asarray(flat_syms).reshape(-1)
+    counts = np.clip(M - np.arange(n_blocks) * S, 0, S).astype(np.int32)
+
+    idx = np.clip(padded - code.lower_bound, 0, code.lengths.size - 1)
+    blk_codes = code.codes[idx].astype(np.uint32).reshape(n_blocks, S)
+    blk_lens = code.lengths[idx].astype(np.int32).reshape(n_blocks, S)
+    mask = np.arange(S)[None, :] < counts[:, None]
+    blk_lens = np.where(mask, blk_lens, 0)
+    block_bits = blk_lens.sum(axis=1, dtype=np.int64)
+
+    G = n_blocks // PACK_GROUP
+    group_bits = block_bits.reshape(G, PACK_GROUP).sum(axis=1)
+    wmax = packer_wmax(group_bits, GROUP_WORDS)
+    words = np.zeros((G, wmax), dtype=np.uint32)
+    for g in range(G):
+        sl = slice(g * PACK_GROUP * S, (g + 1) * PACK_GROUP * S)
+        w, _ = native.pack_bits(
+            blk_codes.reshape(-1)[sl], blk_lens.reshape(-1)[sl]
+        )
+        words[g, : min(w.size, wmax)] = w[:wmax]
+    bb = block_bits.reshape(G, PACK_GROUP)
+    in_group = (np.cumsum(bb, axis=1) - bb).reshape(-1)
+    section = GroupedSection(
+        words=words,
+        group_word_counts=((group_bits + 31) // 32).astype(np.uint32),
+        block_offsets=in_group.astype(np.uint16),
+        block_counts=counts.astype(np.uint8),
+        group_size=PACK_GROUP,
+        words_per_group=wmax,
     )
-    gb_np = np.asarray(gb)
-    wmax = packer_wmax(gb_np, GROUP_WORDS)
-    section = GroupedSection.from_packer_sliced(
-        np.asarray(gw[:, :wmax]), gb_np, np.asarray(boffs), np.asarray(counts),
-        PACK_GROUP, GROUP_WORDS, wmax,
-    )
-    return section, int(total)
+    return section, int(group_bits.sum())
 
 
 class VideoCodec:
