@@ -112,21 +112,18 @@ class MotionCompensator:
 def pallas_vmem_fits(H: int, W: int, search_range: int, budget: int = 12 * 1024 * 1024) -> bool:
     """True when the Pallas ME kernel's per-panel working set fits VMEM.
 
-    The kernel holds the (2sr+1)-way column-shift stack of the padded
-    reference plus the current panel in VMEM (see
-    ``ivclab_tpu/ops/motion_pallas.py``). The estimate lane-pads the panel
-    to the (8, 128) tiling and doubles for the pipeline's input
-    double-buffering. Widths that no 128-multiple panel divides are
-    rejected outright: the full-width fallback panel lane-pads every
-    per-candidate temporary of the unrolled search, which Mosaic
-    stack-allocates past the 16 MiB scoped-vmem limit (observed: 17.6 MiB
-    at 256x352, sr=4, despite a ~4 MiB naive estimate).
+    The kernel always runs the hardware-validated 128-wide panel (see
+    ``motion_pallas.motion_search_pallas``): it holds the (2sr+1)-way
+    column-shift stack of the padded reference plus the current panel in
+    VMEM, double-buffered, and Mosaic's stack allocation of the unrolled
+    search's per-candidate temporaries multiplies the naive model — wider
+    panels blew the 16 MiB scoped-vmem limit on real hardware (22.06 MiB
+    at a 384-wide panel on 256x384; 17.6 MiB at full-width 352). Widths
+    that no 128-multiple panel divides are rejected outright.
     """
-    from ivclab_tpu.ops.motion_pallas import _pick_panel_w
-
     if W % 128:
         return False
-    panel_w = _pick_panel_w(H, W, search_range, budget)
+    panel_w = 128
     hp = -(-(H + 2 * search_range) // 8) * 8
     total = 2 * search_range + 1
     return (total * hp + H) * panel_w * 8 < budget
@@ -136,19 +133,20 @@ def pallas_tile_vmem_fits(band_h: int, W: int, search_range: int,
                           budget: int = 12 * 1024 * 1024) -> bool:
     """VMEM-fits rule for the halo-aware tile kernel (one sharded band).
 
-    Same estimate as :func:`pallas_vmem_fits` with the band's row count:
-    the kernel holds the column-shift stack of the halo-extended band
-    (``band_h + 2*sr`` rows, sublane-padded) plus the current band panel,
-    double-buffered.
+    The tile kernel always runs the 128-wide panel (see
+    ``motion_pallas.motion_search_tile_pallas``); the working-set model —
+    column-shift stack of the halo-extended band plus the current panel,
+    double-buffered — is multiplied by an empirical 2.2x factor for
+    Mosaic's stack allocation of the unrolled search's per-candidate
+    temporaries (measured: 17.67 MiB actual vs 8.1 MiB naive on a
+    256-row band at a 384-wide panel).
     """
-    from ivclab_tpu.ops.motion_pallas import _pick_panel_w
-
     if W % 128:
         return False
-    panel_w = _pick_panel_w(band_h, W, search_range, budget)
+    panel_w = 128
     htp = -(-(band_h + 2 * search_range) // 8) * 8
     total = 2 * search_range + 1
-    return (total * htp + band_h) * panel_w * 8 < budget
+    return (total * htp + band_h) * panel_w * 8 * 2.2 < budget
 
 
 def motion_search_auto(ref_image, image, search_range: int = 4, block: int = 8):

@@ -180,7 +180,13 @@ def motion_search_tile_pallas(ref_ext, cur_tile, tile_row0, total_h: int,
     Ht, W = cur.shape
     total = 2 * sr + 1
 
-    panel_w = _pick_panel_w(Ht, W, sr)
+    # the tile kernel pins the 128-wide panel (falling back to full width
+    # only for interpret-mode shapes no 128-multiple divides): Mosaic's
+    # stack allocation for the unrolled search runs ~2.2x the naive
+    # working-set model, and wider panels blow the 16 MiB scoped-vmem
+    # limit on real hardware (observed: 17.67 MiB at a 384-wide panel on
+    # a 256-row band whose naive model said 8.1 MiB)
+    panel_w = 128 if W % 128 == 0 else W
     n_panels = W // panel_w
     hb, pwb = Ht // block, panel_w // block
 
@@ -231,7 +237,12 @@ def motion_search_pallas(ref_image, image, search_range: int = 4, block: int = 8
     H, W = cur.shape
     total = 2 * sr + 1
 
-    panel_w = _pick_panel_w(H, W, sr)
+    # pin the hardware-validated 128-wide panel (full width only for
+    # interpret-mode shapes no 128-multiple divides): Mosaic's stack
+    # allocation for the unrolled candidate search runs well past the
+    # naive working-set model at wider panels (observed 22.06 MiB vs the
+    # 16 MiB scoped-vmem limit at a 384-wide panel on a 256x384 frame)
+    panel_w = 128 if W % 128 == 0 else W
     n_panels = W // panel_w
     hb, pwb = H // block, panel_w // block
 
