@@ -107,17 +107,26 @@ def write_video_stream(path, gop_blobs):
 
 
 def read_video_stream(path):
+    """Parse an IVCS stream file; truncated/hostile framing raises a clean
+    ValueError (the per-GOP payloads get their own bounds-checked parse)."""
     import struct
 
     data = Path(path).read_bytes()
     if data[:4] != STREAM_MAGIC:
         raise ValueError("not an IVCS video stream")
+    head = 4 + struct.calcsize("<HI")
+    if len(data) < head:
+        raise ValueError("truncated IVCS stream header")
     _, n = struct.unpack_from("<HI", data, 4)
-    off = 4 + struct.calcsize("<HI")
+    off = head
     blobs = []
     for _ in range(n):
+        if off + 8 > len(data):
+            raise ValueError("truncated IVCS stream (GOP length)")
         (ln,) = struct.unpack_from("<Q", data, off)
         off += 8
+        if off + ln > len(data):
+            raise ValueError("truncated IVCS stream (GOP payload)")
         blobs.append(bytes(data[off : off + ln]))
         off += ln
     return blobs

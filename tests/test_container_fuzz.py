@@ -151,3 +151,26 @@ def test_decode_frame_payload_rejects_short_and_foreign():
     for bad in (b"", b"IV", b"IVC1\x00\x00", b"XXXXXXXXXXXX"):
         with pytest.raises(ValueError):
             VideoCodec.decode_frame_payload(bad)
+
+
+def test_video_stream_file_truncations(tmp_path):
+    """The IVCS stream framing rejects truncated/hostile length fields."""
+    from ivclab_tpu.cli import read_video_stream, write_video_stream
+
+    path = tmp_path / "s.ivc"
+    write_video_stream(path, [b"A" * 40, b"B" * 17])
+    assert [len(b) for b in read_video_stream(path)] == [40, 17]
+
+    data = path.read_bytes()
+    for n in list(range(0, len(data), 5)) + [len(data) - 1]:
+        (tmp_path / "t.ivc").write_bytes(data[:n])
+        try:
+            read_video_stream(tmp_path / "t.ivc")
+        except ValueError:
+            pass
+    # oversized GOP length field
+    mutated = bytearray(data)
+    struct.pack_into("<Q", mutated, 10, 1 << 60)
+    (tmp_path / "u.ivc").write_bytes(bytes(mutated))
+    with pytest.raises(ValueError):
+        read_video_stream(tmp_path / "u.ivc")
