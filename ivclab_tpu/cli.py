@@ -329,6 +329,14 @@ def cmd_decode_video(args):
     outp = Path(args.output)
     if outp.suffix == ".npy":
         np.save(outp, out)
+    elif outp.suffix in (".mp4", ".avi", ".mkv"):
+        # the reference's ch4 mp4 export (exercises/ch4/E4-1.py:416-424);
+        # gray frames broadcast to RGB for the writer
+        from ivclab_tpu.utils.io import write_video
+
+        written = write_video(str(outp), np.repeat(out[..., None], 3, axis=-1))
+        print(json.dumps({"video": written, "frames": int(out.shape[0])}))
+        return
     else:
         from ivclab_tpu.utils.io import imwrite
 
