@@ -132,6 +132,13 @@ def read_video_stream(path):
     return blobs
 
 
+def _blob_kind(blob: bytes) -> int:
+    """Kind byte of an IVC1 blob; clean error on short/foreign bytes."""
+    if len(blob) < 7 or blob[:4] != b"IVC1":
+        raise ValueError("not an IVC1 container")
+    return blob[6]
+
+
 def _make_timer(args):
     from ivclab_tpu.runtime.trace import StageTimer
 
@@ -314,7 +321,11 @@ def cmd_decode_video(args):
     blobs = read_video_stream(args.input)
     frames = []
     for blob in blobs:
-        if blob[6] == KIND_VIDEO_ADAPTIVE:
+        try:
+            kind = _blob_kind(blob)
+        except ValueError as e:
+            raise SystemExit(f"corrupt stream entry: {e}")
+        if kind == KIND_VIDEO_ADAPTIVE:
             with timer.stage("decode"):
                 recons = VideoCodec.decode_from_container(blob)
             frames.append(np.asarray(recons))
@@ -413,7 +424,7 @@ def _gop_info(blob: bytes) -> dict:
         KIND_VIDEO_ADAPTIVE, AdaptiveVideoPayload, VideoPayload,
     )
 
-    if blob[6] == KIND_VIDEO_ADAPTIVE:
+    if _blob_kind(blob) == KIND_VIDEO_ADAPTIVE:
         p = AdaptiveVideoPayload.from_bytes(blob)
         T, H, W = p.shape
         return {

@@ -232,7 +232,7 @@ def _pack_section(buf, valid, code):
     """
     from ivclab_tpu.models.intracodec import _pad_blocks
     from ivclab_tpu.ops.transform import (
-        ADAPTIVE_BW, ADAPTIVE_WPG, GROUP_WORDS, PACK_GROUP,
+        ADAPTIVE_BW, ADAPTIVE_WPG, FUSED_TABLE_MAX_LEN, GROUP_WORDS, PACK_GROUP,
         pack_symbols_grouped, pack_symbols_grouped_sized,
     )
     from ivclab_tpu.runtime.container import GroupedSection, packer_wmax
@@ -241,6 +241,7 @@ def _pack_section(buf, valid, code):
     gw, gb, boffs, total = pack_symbols_grouped_sized(
         buf, valid, jnp.asarray(code.codes), jnp.asarray(code.lengths),
         jnp.int32(code.lower_bound), ADAPTIVE_WPG, ADAPTIVE_BW,
+        fuse_table=bool(code.max_len <= FUSED_TABLE_MAX_LEN),
     )
     gb_np, boffs_np = np.asarray(gb), np.asarray(boffs)
     stride = ADAPTIVE_WPG
@@ -625,9 +626,11 @@ class VideoCodec:
         from ivclab_tpu.models.intracodec import _pad_blocks
         from ivclab_tpu.ops.transform import pack_symbols_grouped
 
-        # mv fields narrow to u8 for the fetch (indices < (2sr+1)^2 = 81)
+        # mv fields narrow for the fetch when the packed-index alphabet
+        # fits (u8 covers search_range <= 7; larger ranges keep int32)
+        mv_dtype = jnp.uint8 if (2 * sr + 1) ** 2 <= 255 else jnp.int32
         mn_np, mx_np, hist_all, mv_all, vmax_np = jax.device_get(
-            (outs[2], outs[3], outs[4], mvs_dev.astype(jnp.uint8), outs[7])
+            (outs[2], outs[3], outs[4], mvs_dev.astype(mv_dtype), outs[7])
         )
 
         # phase 2b-i: dispatch every frame's pmf (device ops identical to
@@ -648,8 +651,8 @@ class VideoCodec:
         # cap-sized pack dispatches (ADAPTIVE_WPG/ADAPTIVE_BW buckets; the
         # full-stride packer costs 9x more device time)
         from ivclab_tpu.ops.transform import (
-            ADAPTIVE_BW, ADAPTIVE_WPG, GROUP_WORDS, PACK_GROUP, cap_slice,
-            pack_symbols_grouped_sized,
+            ADAPTIVE_BW, ADAPTIVE_WPG, FUSED_TABLE_MAX_LEN, GROUP_WORDS,
+            PACK_GROUP, cap_slice, pack_symbols_grouped_sized,
         )
 
         pend = []
@@ -664,6 +667,7 @@ class VideoCodec:
             gw, gb, boffs, _ = pack_symbols_grouped_sized(
                 bufp[:, :cap], validp, jnp.asarray(code.codes), jnp.asarray(code.lengths),
                 jnp.int32(lo), ADAPTIVE_WPG, ADAPTIVE_BW,
+                fuse_table=bool(code.max_len <= FUSED_TABLE_MAX_LEN),
             )
             compact = _compact_sidecar(gb, boffs, validp, ADAPTIVE_WPG)
             pend.append([code, lo, mv_all[t], gw, compact, bufp, validp])
@@ -937,8 +941,11 @@ class VideoCodec:
         # the per-frame device->host traffic collapses into two batched
         # fetches (stats, then pmfs); the rate reductions dispatch
         # asynchronously (fetched in phase 3)
+        mv_dtype = (
+            jnp.uint8 if (2 * self.search_range + 1) ** 2 <= 255 else jnp.int32
+        )
         mn_np, mx_np, hist_all, mv_all, vmax_np = jax.device_get(
-            (outs[2], outs[3], outs[4], outs[5].astype(jnp.uint8), outs[7])
+            (outs[2], outs[3], outs[4], outs[5].astype(mv_dtype), outs[7])
         )
         pmf_pend = []
         for t in range(T):

@@ -95,24 +95,6 @@ def _block_sum_matrices(H: int, panel_w: int, block: int):
     return rmat, cmat
 
 
-def _pick_panel_w(H: int, W: int, sr: int, vmem_budget: int = 12 * 1024 * 1024) -> int:
-    """Widest 128-multiple panel whose double-buffered working set fits.
-
-    The x8 factor is 4 bytes x 2 for the pipeline's input double-buffering
-    (the ref stack and cur panel both revolve with the grid index). Falls
-    back to the full width when no 128-multiple divides W — interpret mode
-    only; the TPU dispatcher (``ops.motion.pallas_vmem_fits``) rejects
-    those shapes because lane-padding the fallback panel stack-allocates
-    past Mosaic's scoped-vmem limit.
-    """
-    total = 2 * sr + 1
-    hp = -(-(H + 2 * sr) // 8) * 8
-    for cand in (512, 384, 256, 128):
-        if W % cand == 0 and (total * hp + H) * cand * 8 < vmem_budget:
-            return cand
-    return W
-
-
 def _me_tile_kernel(ref_ref, cur_ref, vy_ref, rmat_ref, cmat_ref, out_ref, *,
                     sr, block, panel_w, Ht, W):
     """Halo-aware variant of :func:`_me_kernel` for one sharded row band.

@@ -201,20 +201,30 @@ def cap_slice(vmax: int, full: int) -> int:
     return full
 
 
-@partial(jax.jit, static_argnames=("words_per_group", "block_words"))
+# A fused (code << 6 | len) u32 table entry holds codes up to this many
+# bits; canonical codes CAN reach MAX_CODE_LEN=32 on pathologically skewed
+# pmfs, so dispatchers must check the trained max length and disable the
+# fusion for such frames (pack_symbols_grouped_sized fuse_table=False).
+FUSED_TABLE_MAX_LEN = 26
+
+
+@partial(jax.jit, static_argnames=("words_per_group", "block_words", "fuse_table"))
 def pack_symbols_grouped_sized(buf, valid_len, enc_codes, enc_lens, lower_bound,
-                               words_per_group: int, block_words: int):
+                               words_per_group: int, block_words: int,
+                               fuse_table: bool = False):
     """Cap-sized grouped pack with TRACED tables and lower bound.
 
     Same group-stream bits and in-group block offsets as
     :func:`pack_symbols_grouped` wherever the buckets fit the content
     (verified bit-for-bit on the adaptive workloads); ``lower_bound`` is a
-    traced operand so per-frame codebooks never retrace. The per-symbol
-    table lookup is ONE gather of a fused ``(code << 6) | len`` u32 table
-    (codes <= 16+6 bits under MAX_CODE_LEN=16) — gathers dominate the
-    pack, and fusing halves them. Returns ``(group_words [G, wpg],
-    group_bits [G], block_offsets [N], total)`` with offsets at
-    ``words_per_group`` stride.
+    traced operand so per-frame codebooks never retrace. With
+    ``fuse_table=True`` the per-symbol lookup is ONE gather of a fused
+    ``(code << 6) | len`` u32 table — gathers dominate the pack, and
+    fusing halves them — but the caller MUST have verified every code
+    length is <= :data:`FUSED_TABLE_MAX_LEN` (longer codes would lose top
+    bits). Returns ``(group_words [G, wpg], group_bits [G],
+    block_offsets [N], total)`` with offsets at ``words_per_group``
+    stride.
     """
     from ivclab_tpu.ops.bitpack import pack_codes_grouped_dense2
 
@@ -222,10 +232,14 @@ def pack_symbols_grouped_sized(buf, valid_len, enc_codes, enc_lens, lower_bound,
     pos = jnp.arange(cap, dtype=jnp.int32)
     mask = pos[None, :] < valid_len[:, None]
     idx = jnp.clip(buf - lower_bound, 0, enc_lens.shape[0] - 1)
-    fused_table = (enc_codes.astype(jnp.uint32) << 6) | enc_lens.astype(jnp.uint32)
-    fused = jnp.where(mask, fused_table[idx], 0)
-    lens = (fused & 63).astype(jnp.int32)
-    codes = fused >> 6
+    if fuse_table:
+        fused_table = (enc_codes.astype(jnp.uint32) << 6) | enc_lens.astype(jnp.uint32)
+        fused = jnp.where(mask, fused_table[idx], 0)
+        lens = (fused & 63).astype(jnp.int32)
+        codes = fused >> 6
+    else:
+        lens = jnp.where(mask, enc_lens[idx], 0)
+        codes = jnp.where(mask, enc_codes[idx], 0)
     words, group_bits, block_offsets = pack_codes_grouped_dense2(
         codes, lens, PACK_GROUP, words_per_group, block_words
     )

@@ -575,21 +575,18 @@ class ShardedAdaptiveEncoder:
 
     @staticmethod
     def _in_group_ok(gbits_np, in_group_np, wpg: int, bw: int) -> bool:
-        """Speculative-bucket adequacy from the (exact) sidecar outputs:
-        every group fits its ``wpg``-word buffer, every block its
-        ``bw``-word deposit window."""
+        """Speculative-bucket adequacy — the single-device checker applied
+        to the gathered (exact) sidecar outputs, so the sharded and
+        single-device overflow-fallback decisions can never diverge."""
         import numpy as np
 
-        from ivclab_tpu.ops.transform import PACK_GROUP
+        from ivclab_tpu.models.videocodec import _sized_buckets_ok
 
-        gb = np.asarray(gbits_np).reshape(-1).astype(np.int64)
-        if gb.size == 0:
-            return True
-        if int(gb.max()) > wpg * 32:
-            return False
-        ig = np.asarray(in_group_np).reshape(-1, PACK_GROUP).astype(np.int64)
-        ends = np.concatenate([ig[:, 1:], gb[:, None]], axis=1)
-        return int(((ends - ig).max(initial=0) + 31) // 32) <= bw
+        return _sized_buckets_ok(
+            np.asarray(gbits_np).reshape(-1),
+            np.asarray(in_group_np).reshape(-1),
+            wpg, bw,
+        )
 
     def encode(self, frames_y) -> list:
         """``[n_gop * gop_len, H, W]`` float32 -> one AdaptiveVideoPayload
@@ -624,11 +621,16 @@ class ShardedAdaptiveEncoder:
 
         # host tree builds (device pmf ops identical to the single-device
         # path -> identical canonical codes)
+        from ivclab_tpu.ops.transform import symbol_histogram
+
         pmf_pend = []
         for t in range(T):
             lo, hi = bucket_bounds(int(mn_np[t]), int(mx_np[t]))
-            assert _HIST_LO <= lo and hi <= _HIST_HI, "bounds escape the window"
-            h = jnp.asarray(hist_np[t, lo - _HIST_LO : hi - _HIST_LO])
+            if _HIST_LO <= lo and hi <= _HIST_HI:
+                h = jnp.asarray(hist_np[t, lo - _HIST_LO : hi - _HIST_LO])
+            else:  # pathological bounds: exact fallback, like the
+                # single-device encoder (keeps the byte-identity contract)
+                h = symbol_histogram(buf[t], valid[t], lo, hi)
             pmf_pend.append((lo, smooth_pmf(h.astype(jnp.float32) / jnp.sum(h))))
         pmfs = jax.device_get([p for _, p in pmf_pend])
         codes_list = []

@@ -283,6 +283,17 @@ class GroupedSection:
                 "grouped section: sidecar size does not match "
                 f"{n_groups} groups x {group_size} blocks"
             )
+        # decoder allocation cap: the word buffer materializes as
+        # [n_groups, wpg] u32 even when most groups are short, so bound it
+        # against the blob size (32x) and an absolute ceiling (128 MB) —
+        # a hostile (n_groups, wpg) pair with all-zero word counts passed
+        # every byte-level bounds check while demanding gigabytes
+        alloc = n_groups * wpg * 4
+        if alloc > (1 << 27) or alloc > 32 * len(r.buf) + (1 << 16):
+            raise ValueError(
+                f"grouped section: {n_groups} groups x {wpg} words exceeds "
+                "the decoder allocation cap"
+            )
         gwc = r.array("<u4", n_groups, "group word counts")
         if gwc.size and int(gwc.max()) > wpg:
             raise ValueError("grouped section: group word count exceeds stride")

@@ -120,3 +120,44 @@ def test_forward_symbolize_capacity_cond_parity(rng):
     # the noise content actually exercised the full branch
     _, valid_n, _ = forward_symbolize(jnp.asarray(noise), inv, 4000)
     assert int(np.asarray(valid_n).max()) > 32
+
+
+def test_sized_pack_long_codes_not_truncated():
+    """Codes longer than FUSED_TABLE_MAX_LEN bits must take the two-gather
+    path (the fused (code<<6|len) u32 entry would drop their top bits).
+    A geometric pmf forces canonical lengths deep past 26 bits."""
+    import jax.numpy as jnp
+
+    from ivclab_tpu.entropy.codebook import build_canonical_code
+    from ivclab_tpu.ops.transform import (
+        FUSED_TABLE_MAX_LEN, pack_symbols_grouped, pack_symbols_grouped_sized,
+    )
+
+    n = 40
+    pmf = np.power(0.5, np.arange(1, n + 1))
+    pmf /= pmf.sum()
+    code = build_canonical_code(pmf, lower_bound=0)
+    assert code.max_len > FUSED_TABLE_MAX_LEN  # the hazardous regime
+
+    rng = np.random.default_rng(5)
+    # skew draws toward the long-code tail so truncation would show
+    syms = rng.integers(n - 8, n, size=(16, 32)).astype(np.int32)
+    valid = np.full(16, 32, np.int32)
+    want = pack_symbols_grouped(
+        jnp.asarray(syms), jnp.asarray(valid),
+        jnp.asarray(code.codes), jnp.asarray(code.lengths), 0,
+    )
+    # buckets sized for the long-code content (production detects the
+    # ADAPTIVE_WPG/ADAPTIVE_BW overflow via _sized_buckets_ok and falls
+    # back; here only the gather fusion is under test)
+    got = pack_symbols_grouped_sized(
+        jnp.asarray(syms), jnp.asarray(valid),
+        jnp.asarray(code.codes), jnp.asarray(code.lengths), jnp.int32(0),
+        1024, 64,
+        fuse_table=bool(code.max_len <= FUSED_TABLE_MAX_LEN),  # -> False
+    )
+    assert np.array_equal(np.asarray(want[1]), np.asarray(got[1]))  # group bits
+    used = int((np.asarray(want[1]).max() + 31) // 32)
+    assert np.array_equal(
+        np.asarray(want[0])[:, :used], np.asarray(got[0])[:, :used]
+    )

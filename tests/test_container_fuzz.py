@@ -174,3 +174,21 @@ def test_video_stream_file_truncations(tmp_path):
     (tmp_path / "u.ivc").write_bytes(bytes(mutated))
     with pytest.raises(ValueError):
         read_video_stream(tmp_path / "u.ivc")
+
+
+def test_grouped_section_allocation_amplification_rejected():
+    """A hostile (n_groups, wpg) pair with all-zero word counts passes the
+    byte-level bounds checks but would materialize gigabytes; the decoder
+    allocation cap must reject it."""
+    from ivclab_tpu.runtime.container import GroupedSection, _Reader
+
+    n_groups, wpg, gs = 2_000_000, 2048, 1
+    head = struct.pack("<HIIQ", gs, wpg, n_groups, n_groups * gs)
+    body = (
+        head
+        + b"\x00" * (4 * n_groups)   # gwc all zero
+        + b"\x00" * (2 * n_groups)   # offsets
+        + b"\x00" * (1 * n_groups)   # counts
+    )
+    with pytest.raises(ValueError, match="allocation cap"):
+        GroupedSection.from_buffer(_Reader(memoryview(body)))

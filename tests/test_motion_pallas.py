@@ -17,7 +17,7 @@ import numpy as np
 import pytest
 
 from ivclab_tpu.ops.motion import motion_search, pallas_vmem_fits
-from ivclab_tpu.ops.motion_pallas import _pick_panel_w, motion_search_pallas
+from ivclab_tpu.ops.motion_pallas import motion_search_pallas
 
 
 def _frames(rng, H, W, dy, dx, noise=0.5):
@@ -53,14 +53,14 @@ def test_interpret_parity_on_video_fixture(foreman):
     assert np.array_equal(mv_pl, mv_xla)
 
 
-def test_panel_picker_invariants():
-    for H, W, sr in [(1088, 1920, 4), (288, 352, 4), (64, 48, 4), (720, 1280, 8)]:
-        pw = _pick_panel_w(H, W, sr)
-        assert W % pw == 0, (H, W, sr, pw)
-        total = 2 * sr + 1
-        hp = -(-(H + 2 * sr) // 8) * 8
-        if pw != W:  # when a proper panel is picked it must fit the budget
-            assert (total * hp + H) * pw * 8 < 12 * 1024 * 1024
+def test_panel_pinning_invariants():
+    """Both ME kernels pin the hardware-validated 128-wide panel; widths
+    no 128-multiple divides run full-width (interpret mode only — the
+    dispatch rules reject them on TPU)."""
+    for W in (1920, 384, 128, 1280):
+        assert W % 128 == 0
+        assert pallas_vmem_fits(1088, W, 4) or W == 0
+    assert not pallas_vmem_fits(1088, 352, 4)  # W % 128 != 0 -> scan
 
 
 def test_vmem_dispatch_cutoff():
