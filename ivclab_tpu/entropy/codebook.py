@@ -28,7 +28,16 @@ from dataclasses import dataclass
 
 import numpy as np
 
+# format capability: the wire/decoder tables handle lengths up to 32 bits
 MAX_CODE_LEN = 32
+# construction default: plain canonical codes are length-limited to 26
+# bits (libjpeg-style rebalance). Smoothed pmfs put ~1e-9 mass on
+# thousands of never-occurring bins, whose Huffman depths reach 27-32 on
+# real content; capping them costs zero rate (the long codes are never
+# emitted — every occurring symbol has p >= 1/total, far shorter) and
+# keeps every code within the packers' fused (code << 6 | len) u32 table
+# (ops/transform.py FUSED_TABLE_MAX_LEN).
+BUILD_MAX_LEN = 26
 
 
 def huffman_code_lengths(freqs: np.ndarray) -> np.ndarray:
@@ -214,7 +223,7 @@ def canonical_from_lengths(lengths: np.ndarray, lower_bound: int = 0) -> Canonic
     )
 
 
-def build_canonical_code(pmf: np.ndarray, lower_bound: int = 0, max_len: int = MAX_CODE_LEN) -> CanonicalCode:
+def build_canonical_code(pmf: np.ndarray, lower_bound: int = 0, max_len: int = BUILD_MAX_LEN) -> CanonicalCode:
     """pmf -> canonical length-limited code (the full host pipeline)."""
     pmf = np.asarray(pmf, dtype=np.float64)
     if pmf.size == 1:

@@ -136,7 +136,9 @@ def test_sized_pack_long_codes_not_truncated():
     n = 40
     pmf = np.power(0.5, np.arange(1, n + 1))
     pmf /= pmf.sum()
-    code = build_canonical_code(pmf, lower_bound=0)
+    # explicit max_len=32: the format allows long codes (the DEFAULT
+    # build caps at 26 so production tables always fit the fused entry)
+    code = build_canonical_code(pmf, lower_bound=0, max_len=32)
     assert code.max_len > FUSED_TABLE_MAX_LEN  # the hazardous regime
 
     rng = np.random.default_rng(5)
