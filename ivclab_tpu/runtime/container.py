@@ -285,11 +285,13 @@ class GroupedSection:
             )
         # decoder allocation cap: the word buffer materializes as
         # [n_groups, wpg] u32 even when most groups are short, so bound it
-        # against the blob size (32x) and an absolute ceiling (128 MB) —
-        # a hostile (n_groups, wpg) pair with all-zero word counts passed
-        # every byte-level bounds check while demanding gigabytes
+        # by an absolute ceiling (128 MB) and, past a 16 MB floor, by 32x
+        # the blob size — a hostile (n_groups, wpg) pair with all-zero
+        # word counts passed every byte-level bounds check while demanding
+        # gigabytes. (The floor keeps small legitimate full-stride
+        # sections — e.g. intra payloads at GROUP_WORDS=1600 — parseable.)
         alloc = n_groups * wpg * 4
-        if alloc > (1 << 27) or alloc > 32 * len(r.buf) + (1 << 16):
+        if alloc > (1 << 27) or (alloc > (1 << 24) and alloc > 32 * len(r.buf)):
             raise ValueError(
                 f"grouped section: {n_groups} groups x {wpg} words exceeds "
                 "the decoder allocation cap"
