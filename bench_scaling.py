@@ -43,7 +43,8 @@ import time
 GOP_LEN = 4
 H, W = 256, 384
 ITERS = 3
-REPEATS = 3  # best-of-N timed loops per point (host contention noise)
+REPEATS = 6  # best-of-N timed loops per point (host contention noise on
+             # the 2-core host swings single runs by >15%)
 
 # tile sweep: one 1080p row band per device (8 devices = 1920x1088)
 TILE_BAND_H, TILE_W = 136, 1920
@@ -234,15 +235,23 @@ def _run_sweep(mode: str, counts=(1, 2, 4, 8)):
     for n in counts:
         cores = f"0-{min(n, n_cores) - 1}" if min(n, n_cores) > 1 else "0"
         pin = ["taskset", "-c", cores] if have_taskset else []
-        proc = subprocess.run(
-            pin + [sys.executable, __file__, f"--child-{mode}", str(n)],
-            capture_output=True, text=True, timeout=1200,
-        )
-        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
-        if proc.returncode != 0 or not line.startswith("{"):
-            sys.stderr.write(proc.stderr[-2000:])
-            raise RuntimeError(f"child {mode} n={n} failed")
-        results.append(json.loads(line))
+        # two independent child invocations, keep the faster: between-run
+        # contention on this shared 2-core host only ever slows a point,
+        # so best-of is the consistent estimator for every device count
+        best = None
+        for _ in range(2):
+            proc = subprocess.run(
+                pin + [sys.executable, __file__, f"--child-{mode}", str(n)],
+                capture_output=True, text=True, timeout=1200,
+            )
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+            if proc.returncode != 0 or not line.startswith("{"):
+                sys.stderr.write(proc.stderr[-2000:])
+                raise RuntimeError(f"child {mode} n={n} failed")
+            r = json.loads(line)
+            if best is None or r["mpix_per_s"] > best["mpix_per_s"]:
+                best = r
+        results.append(best)
     base = results[0]["mpix_per_s"]
     for r in results:
         r["efficiency"] = round(r["mpix_per_s"] / (r["n_devices"] * base), 3)
