@@ -807,14 +807,20 @@ class VideoCodec:
         # batched fetch with the reconstructions
         from ivclab_tpu.ops.motion import motion_compensate_dense
 
+        from ivclab_tpu.ops.transform import cap_slice
+
         for t, (cb, section) in enumerate(p.frames):
             code = cb.canonical()
             words, offs, counts = section.device_views()
+            # the canonical walk's sequential depth is the symbol
+            # capacity; the sidecar's max block count picks the smallest
+            # adequate bucket (typically 48 vs the 128 worst case)
+            cap = cap_slice(int(section.block_counts.max(initial=1)), BLOCK_CAP)
             sym_idx = decode_blocks_device(
-                words, offs, counts, decode_tables(code), BLOCK_CAP
+                words, offs, counts, decode_tables(code), cap
             )
             syms = jnp.where(
-                jnp.arange(BLOCK_CAP)[None, :] < counts[:, None],
+                jnp.arange(cap)[None, :] < counts[:, None],
                 sym_idx + code.lower_bound,
                 0,
             )[:n_real]
