@@ -284,10 +284,16 @@ class IntraCodec:
         hp, wp, C = codec._padded_grid(payload.shape)
         qt, _ = codec._tables(C)
         words, offs, counts = ct.device_views(payload)
-        sym_idx = decode_blocks_device(words, offs, counts, decode_tables(code), BLOCK_CAP)
+        # canonical-walk depth bucketed from the sidecar (the sequential
+        # symbol loop dominates decode; typical content fits 48 of the
+        # 128-slot worst case)
+        from ivclab_tpu.ops.transform import cap_slice
+
+        cap = cap_slice(int(payload.block_counts.max(initial=1)), BLOCK_CAP)
+        sym_idx = decode_blocks_device(words, offs, counts, decode_tables(code), cap)
         n_real = hp * wp * C
         syms = jnp.where(
-            jnp.arange(BLOCK_CAP)[None, :] < counts[:, None],
+            jnp.arange(cap)[None, :] < counts[:, None],
             sym_idx + code.lower_bound,
             0,
         )[:n_real]
