@@ -254,18 +254,34 @@ class IntraCodec:
             buf, valid_len, self._enc_codes, self._enc_lens, code.lower_bound
         )
         self.num_symbols = int(jnp.sum(valid_len))
+        # width-slice the section to the measured used words, like the
+        # video paths: a full-stride (GROUP_WORDS=1600) words_per_group
+        # made the decoder materialize [G, 1600] buffers — which large
+        # legitimate images could not even get past the decoder's
+        # allocation cap — and fetched the mostly-empty tail over the
+        # tunnel. Offsets rebase to the sliced stride.
+        gb_np = np.asarray(group_bits)
+        wmax = ct.packer_wmax(gb_np, GROUP_WORDS)
+        G = gb_np.shape[0]
+        base_old = np.arange(G, dtype=np.int64) * (GROUP_WORDS * 32)
+        base_new = np.arange(G, dtype=np.int64) * (wmax * 32)
+        offs = (
+            np.asarray(block_offsets).astype(np.int64)
+            - np.repeat(base_old, PACK_GROUP)
+            + np.repeat(base_new, PACK_GROUP)
+        )
         payload = ct.grouped_payload_from_device(
             kind=ct.KIND_INTRA if len(orig_shape) == 3 else ct.KIND_PLANE,
             shape=orig_shape,
             q=self.quantization_scale,
             eob=self.end_of_block,
             num_symbols=self.num_symbols,
-            group_words=group_words,
-            group_bits=group_bits,
-            block_offsets=block_offsets,
+            group_words=np.asarray(group_words[:, :wmax]),
+            group_bits=gb_np,
+            block_offsets=offs,
             block_counts=valid_len,
             codebook=ct.Codebook(code.lower_bound, np.asarray(code.lengths, dtype=np.uint8)),
-            words_per_group=GROUP_WORDS,
+            words_per_group=wmax,
             group_size=PACK_GROUP,
         )
         return payload.to_bytes()

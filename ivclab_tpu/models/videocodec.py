@@ -172,6 +172,13 @@ def _masked_code_bits(buf, valid, enc_lens, lower):
     return jnp.sum(jnp.where(mask, enc_lens[idx], 0))
 
 
+def _mv_fetch_dtype(search_range: int):
+    """Narrowest dtype holding every packed motion index for a fetch
+    (u8 covers search_range <= 7; larger ranges keep int32 — an
+    unconditional u8 cast silently wrapped indices at sr >= 8)."""
+    return jnp.uint8 if (2 * search_range + 1) ** 2 <= 255 else jnp.int32
+
+
 def _sized_buckets_ok(gb_np, in_group_np, wpg: int, bw: int) -> bool:
     """True when the speculative pack buckets held this frame's content.
 
@@ -626,11 +633,9 @@ class VideoCodec:
         from ivclab_tpu.models.intracodec import _pad_blocks
         from ivclab_tpu.ops.transform import pack_symbols_grouped
 
-        # mv fields narrow for the fetch when the packed-index alphabet
-        # fits (u8 covers search_range <= 7; larger ranges keep int32)
-        mv_dtype = jnp.uint8 if (2 * sr + 1) ** 2 <= 255 else jnp.int32
         mn_np, mx_np, hist_all, mv_all, vmax_np = jax.device_get(
-            (outs[2], outs[3], outs[4], mvs_dev.astype(mv_dtype), outs[7])
+            (outs[2], outs[3], outs[4],
+             mvs_dev.astype(_mv_fetch_dtype(sr)), outs[7])
         )
 
         # phase 2b-i: dispatch every frame's pmf (device ops identical to
@@ -947,11 +952,9 @@ class VideoCodec:
         # the per-frame device->host traffic collapses into two batched
         # fetches (stats, then pmfs); the rate reductions dispatch
         # asynchronously (fetched in phase 3)
-        mv_dtype = (
-            jnp.uint8 if (2 * self.search_range + 1) ** 2 <= 255 else jnp.int32
-        )
         mn_np, mx_np, hist_all, mv_all, vmax_np = jax.device_get(
-            (outs[2], outs[3], outs[4], outs[5].astype(mv_dtype), outs[7])
+            (outs[2], outs[3], outs[4],
+             outs[5].astype(_mv_fetch_dtype(self.search_range)), outs[7])
         )
         pmf_pend = []
         for t in range(T):

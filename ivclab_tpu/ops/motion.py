@@ -109,24 +109,36 @@ class MotionCompensator:
         return np.asarray(motion_compensate(ref_image, mv, self.search_range))
 
 
-def pallas_vmem_fits(H: int, W: int, search_range: int, budget: int = 12 * 1024 * 1024) -> bool:
+# Mosaic stack-allocates the unrolled candidate search's temporaries at
+# up to ~1.44x the naive working-set model at the pinned 128-wide panel
+# (hardware anchor: 1080p/sr=4 naive 11.2 MiB runs within the 16 MiB
+# scoped-vmem limit; at wider panels the ratio grew to 2.2-2.7x and
+# overflowed, which is why the panel is pinned). The dispatch rules admit
+# a shape only when naive * the margin stays under the hardware limit.
+_VMEM_LIMIT = 16 * 1024 * 1024
+_VMEM_STACK_MARGIN = 1.44
+
+
+def pallas_vmem_fits(H: int, W: int, search_range: int, budget: int | None = None) -> bool:
     """True when the Pallas ME kernel's per-panel working set fits VMEM.
 
     The kernel always runs the hardware-validated 128-wide panel (see
     ``motion_pallas.motion_search_pallas``): it holds the (2sr+1)-way
     column-shift stack of the padded reference plus the current panel in
-    VMEM, double-buffered, and Mosaic's stack allocation of the unrolled
-    search's per-candidate temporaries multiplies the naive model — wider
-    panels blew the 16 MiB scoped-vmem limit on real hardware (22.06 MiB
-    at a 384-wide panel on 256x384; 17.6 MiB at full-width 352). Widths
-    that no 128-multiple panel divides are rejected outright.
+    VMEM, double-buffered; the naive model is multiplied by the measured
+    Mosaic stack margin (see ``_VMEM_STACK_MARGIN``). Widths that no
+    128-multiple panel divides are rejected outright (their full-width
+    fallback panels blew the limit on hardware: 22.06 MiB at a 384-wide
+    panel on 256x384, 17.6 MiB at full-width 352).
     """
     if W % 128:
         return False
+    # an explicit ``budget`` keeps the legacy naive-model semantics
+    limit = _VMEM_LIMIT if budget is None else int(budget * _VMEM_STACK_MARGIN)
     panel_w = 128
     hp = -(-(H + 2 * search_range) // 8) * 8
     total = 2 * search_range + 1
-    return (total * hp + H) * panel_w * 8 < budget
+    return (total * hp + H) * panel_w * 8 * _VMEM_STACK_MARGIN < limit
 
 
 def pallas_tile_vmem_fits(band_h: int, W: int, search_range: int,

@@ -46,10 +46,14 @@ def write_video(filepath: str, frames, fps: int = 10) -> str:
         out = cv2.VideoWriter(
             filepath, cv2.VideoWriter_fourcc(*"mp4v"), fps, (W, H)
         )
-        for frame in frames:
-            out.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+        if out.isOpened():  # codec/container mismatches fail silently
+            # otherwise — every write() becomes a no-op and the caller
+            # gets a zero-byte file reported as success
+            for frame in frames:
+                out.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+            out.release()
+            return filepath
         out.release()
-        return filepath
     except ImportError:
         pass
     try:
