@@ -55,3 +55,28 @@ def test_container_odd_shape(rng):
     recon = IntraCodec.decode_from_container(blob)
     assert recon.shape == img.shape
     assert float(calc_psnr(img, recon)) > 15.0
+
+
+def test_large_image_container_roundtrip():
+    """Regression: the decoder allocation cap rejected legitimate large
+    intra payloads while they serialized at the full 1600-word stride
+    (1080p RGB and 2+ Mpix gray could not be decoded). The encoder now
+    width-slices its section; large images must round-trip."""
+    from ivclab_tpu.models import IntraCodec
+    from ivclab_tpu.utils import fixtures
+    from ivclab_tpu.utils.metrics import calc_psnr
+
+    base = fixtures.image("lena")
+    img = np.tile(base, (3, 4, 1))[:1088, :1920]  # 1080p RGB
+    codec = IntraCodec(quantization_scale=2.0)
+    codec.train_huffman_from_image(img)
+    blob = codec.encode_to_container(img)
+    recon = IntraCodec.decode_from_container(blob)
+    assert float(calc_psnr(img, recon)) > 25.0
+
+    gray = np.tile(base.mean(axis=-1).astype(np.uint8), (4, 3))[:2048, :1536]
+    codec = IntraCodec(quantization_scale=2.0)
+    codec.train_huffman_from_image(gray, is_source_rgb=False)
+    blob = codec.encode_to_container(gray, is_source_rgb=False)
+    recon = IntraCodec.decode_from_container(blob)
+    assert float(calc_psnr(gray, recon)) > 25.0
